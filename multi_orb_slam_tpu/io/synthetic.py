@@ -1,0 +1,170 @@
+"""Synthetic RGB-D world rendering for tests and benchmarks (host-side numpy).
+
+The reference has no test suite; its only end-to-end check is running rgbd_tum
+on TUM datasets (SURVEY.md §4).  This container has no dataset access, so we
+generate controlled synthetic RGB-D sequences with exact ground truth: a box
+room whose walls carry bright textured squares (squares give strong FAST
+corners), rendered with a z-buffered painter's algorithm, plus a depth image.
+This powers golden-trajectory ATE tests the reference never had.
+
+Rendering is plain numpy on the host: dataset generation is I/O, not the TPU
+compute path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class World(NamedTuple):
+    points: np.ndarray      # [N, 3] float32 world positions
+    intensity: np.ndarray   # [N] float32 in [0, 255]
+    size: np.ndarray        # [N] float32 physical half-size (meters)
+
+
+def make_box_world(
+    seed: int = 0,
+    n_points: int = 3000,
+    box: tuple[float, float, float] = (6.0, 4.0, 6.0),
+) -> World:
+    """Textured squares on the inside walls of a box centered at origin."""
+    rng = np.random.RandomState(seed)
+    bx, by, bz = box
+    n_per_wall = n_points // 6
+    pts = []
+    for axis, sign in [(0, -1), (0, 1), (1, -1), (1, 1), (2, -1), (2, 1)]:
+        p = rng.uniform(-0.5, 0.5, size=(n_per_wall, 3))
+        p[:, 0] *= bx
+        p[:, 1] *= by
+        p[:, 2] *= bz
+        p[:, axis] = sign * (box[axis] / 2.0)
+        pts.append(p)
+    points = np.concatenate(pts, axis=0).astype(np.float32)
+    n = points.shape[0]
+    intensity = rng.uniform(30.0, 235.0, size=n).astype(np.float32)
+    size = rng.uniform(0.02, 0.06, size=n).astype(np.float32)
+    return World(points, intensity, size)
+
+
+def render_rgbd(
+    world: World,
+    K: np.ndarray,          # [4] fx, fy, cx, cy
+    Tcw: np.ndarray,        # [4, 4] world -> camera
+    height: int = 480,
+    width: int = 640,
+    background: float = 100.0,
+    max_half_px: int = 12,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render (gray [H, W], depth [H, W]) of the world from a camera pose.
+
+    Painter's algorithm far-to-near; each world point is drawn as a filled
+    square whose pixel size follows perspective.  Depth is 0 where nothing
+    projects (mimicking RGB-D holes).
+    """
+    fx, fy, cx, cy = K
+    R = Tcw[:3, :3]
+    t = Tcw[:3, 3]
+    xc = world.points @ R.T + t
+    z = xc[:, 2]
+    vis = z > 0.2
+    u = fx * xc[:, 0] / np.where(vis, z, 1.0) + cx
+    v = fy * xc[:, 1] / np.where(vis, z, 1.0) + cy
+    half = np.clip((fx * world.size / np.where(vis, z, 1.0)), 1.0, max_half_px)
+    vis &= (u > -max_half_px) & (u < width + max_half_px)
+    vis &= (v > -max_half_px) & (v < height + max_half_px)
+
+    order = np.argsort(-z)  # far first
+    gray = np.full((height, width), background, np.float32)
+    depth = np.zeros((height, width), np.float32)
+    ui = u[order]
+    vi = v[order]
+    zi = z[order]
+    hi = half[order]
+    ii = world.intensity[order]
+    msk = vis[order]
+    for idx in np.nonzero(msk)[0]:
+        h = int(hi[idx])
+        x0 = int(round(ui[idx])) - h
+        x1 = int(round(ui[idx])) + h + 1
+        y0 = int(round(vi[idx])) - h
+        y1 = int(round(vi[idx])) + h + 1
+        x0c, x1c = max(x0, 0), min(x1, width)
+        y0c, y1c = max(y0, 0), min(y1, height)
+        if x0c >= x1c or y0c >= y1c:
+            continue
+        gray[y0c:y1c, x0c:x1c] = ii[idx]
+        depth[y0c:y1c, x0c:x1c] = zi[idx]
+    return gray, depth
+
+
+def orbit_trajectory(
+    n_frames: int,
+    radius: float = 1.2,
+    height_amp: float = 0.15,
+    yaw_range: float = 0.8,
+    seed: int = 1,
+) -> np.ndarray:
+    """Smooth camera trajectory inside the box: slow arc with small yaw.
+
+    Returns [n_frames, 4, 4] world->camera poses (Tcw).
+    """
+    poses = np.zeros((n_frames, 4, 4), np.float32)
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        ang = (s - 0.5) * yaw_range
+        # camera center moves along an arc
+        center = np.array(
+            [radius * np.sin(ang), height_amp * np.sin(2 * np.pi * s), -radius * 0.3 * np.cos(ang)],
+            np.float32,
+        )
+        # camera yaws with the arc, looking toward +z wall
+        cy_, sy_ = np.cos(ang * 0.7), np.sin(ang * 0.7)
+        Rwc = np.array(
+            [[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]], np.float32
+        )
+        Rcw = Rwc.T
+        tcw = -Rcw @ center
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rcw
+        T[:3, 3] = tcw
+        poses[i] = T
+    return poses
+
+
+class SyntheticSequence(NamedTuple):
+    grays: list          # per frame: [C, H, W] float32
+    depths: list         # per frame: [C, H, W] float32
+    poses_gt: np.ndarray # [T, 4, 4] rig (cam0) world->camera
+    timestamps: np.ndarray
+
+
+def make_sequence(
+    n_frames: int = 30,
+    K: np.ndarray | None = None,
+    T_rc: np.ndarray | None = None,   # [C, 4, 4] rig->camera extrinsics
+    height: int = 480,
+    width: int = 640,
+    seed: int = 0,
+    n_points: int = 3000,
+) -> SyntheticSequence:
+    """Render a full (optionally multi-camera) RGB-D sequence with GT poses."""
+    if K is None:
+        K = np.array([520.9, 521.0, width / 2.0, height / 2.0], np.float32)
+    if T_rc is None:
+        T_rc = np.eye(4, dtype=np.float32)[None]
+    world = make_box_world(seed=seed, n_points=n_points)
+    poses = orbit_trajectory(n_frames, seed=seed + 1)
+    grays, depths = [], []
+    for i in range(n_frames):
+        gs, ds = [], []
+        for c in range(T_rc.shape[0]):
+            Tcw = T_rc[c] @ poses[i]
+            g, d = render_rgbd(world, K, Tcw, height, width)
+            gs.append(g)
+            ds.append(d)
+        grays.append(np.stack(gs))
+        depths.append(np.stack(ds))
+    ts = np.arange(n_frames, dtype=np.float64) / 30.0
+    return SyntheticSequence(grays, depths, poses, ts)
