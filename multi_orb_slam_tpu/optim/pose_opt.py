@@ -1,0 +1,175 @@
+"""Motion-only bundle adjustment (pose optimization), batched LM.
+
+Replaces both reference overloads of `Optimizer::PoseOptimization`:
+- single-camera (src/Optimizer.cc:352-618)
+- all-camera with per-edge rig transform `Tcim_quat`
+  (src/Optimizer.cc:620-898, using the fork's `_multi` unary edges
+  Thirdparty/g2o/.../types_six_dof_expmap.h:204-313)
+
+One function covers both: every observation carries a camera index that picks
+its rig extrinsic, so the "cam1-only" variant is just a mask.  The reference's
+schedule is preserved:
+- 4 rounds x 10 LM iterations, re-starting each round from the input pose
+  (Optimizer.cc:527-538)
+- chi2 gates 5.991 (mono) / 7.815 (stereo) re-classify inliers between rounds
+- Huber kernel active for rounds 0-1, dropped from round 2
+  (Optimizer.cc:584: `if(it==2) e->setRobustKernel(0)`)
+
+The whole schedule runs inside one jit: the per-edge graph build of g2o
+becomes dense batched residual/Jacobian evaluation; the 6x6 normal system is
+solved directly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+class PoseObs(NamedTuple):
+    """Flat observation set for one frame (fixed capacity N, masked)."""
+
+    pw: jnp.ndarray         # [N, 3] world points
+    uvr: jnp.ndarray        # [N, 3] (u, v, u_right); u_right < 0 => mono
+    cam_idx: jnp.ndarray    # [N] int32 camera of each observation
+    inv_sigma2: jnp.ndarray # [N] information scale (1/sigma^2 of the level)
+    mask: jnp.ndarray       # [N] bool valid observation
+
+
+def _residual_jacobian(Tcw, obs: PoseObs, T_rc, K, bf):
+    """Residuals e [N, 3], Jacobians J = de/dxi [N, 3, 6], stereo mask [N].
+
+    e = obs - (u, v, ur) of the predicted projection;
+    J = -A @ R_rc @ [I | -hat(Xr)] with A = dproj/dXc.
+    Mirrors the fork's analytic `linearizeOplus` chain with `Tcim_quat`
+    (types_six_dof_expmap.cpp:600-698), vectorized over observations.
+    """
+    Xr = se3.transform_points(Tcw, obs.pw)  # [N, 3] rig-body frame
+    Trc_o = T_rc[obs.cam_idx]               # [N, 4, 4]
+    Xc = jnp.einsum("nij,nj->ni", Trc_o[:, :3, :3], Xr) + Trc_o[:, :3, 3]
+    Ko = K[obs.cam_idx]                      # [N, 4]
+    fx, fy, cx, cy = Ko[:, 0], Ko[:, 1], Ko[:, 2], Ko[:, 3]
+    bfo = jnp.broadcast_to(bf, obs.cam_idx.shape)
+
+    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+    z_ok = z > 1e-3
+    zs = jnp.where(z_ok, z, 1.0)
+    invz = 1.0 / zs
+    invz2 = invz * invz
+    u = fx * x * invz + cx
+    v = fy * y * invz + cy
+    ur = u - bfo * invz
+    pred = jnp.stack([u, v, ur], axis=-1)
+
+    is_stereo = obs.uvr[:, 2] >= 0
+    target = jnp.where(is_stereo[:, None], obs.uvr,
+                       jnp.concatenate([obs.uvr[:, :2], ur[:, None]], axis=-1))
+    e = target - pred
+
+    # A = dproj/dXc  [N, 3, 3]
+    zero = jnp.zeros_like(fx)
+    A = jnp.stack(
+        [
+            jnp.stack([fx * invz, zero, -fx * x * invz2], -1),
+            jnp.stack([zero, fy * invz, -fy * y * invz2], -1),
+            jnp.stack([fx * invz, zero, -fx * x * invz2 + bfo * invz2], -1),
+        ],
+        axis=-2,
+    )
+    # dXc/dxi = R_rc @ [I | -hat(Xr)]  [N, 3, 6]
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=Xr.dtype), Xr.shape[:-1] + (3, 3))
+    G = jnp.concatenate([I3, -se3.hat(Xr)], axis=-1)  # [N, 3, 6]
+    J = -jnp.einsum("nij,njk,nkl->nil", A, Trc_o[:, :3, :3], G)
+    valid = obs.mask & z_ok
+    return e, J, is_stereo, valid
+
+
+@partial(jax.jit, static_argnums=(5,))
+def optimize_pose(
+    Tcw0: jnp.ndarray,
+    obs: PoseObs,
+    T_rc: jnp.ndarray,   # [C, 4, 4]
+    K: jnp.ndarray,      # [C, 4]
+    bf: jnp.ndarray,     # [] scalar
+    n_rounds: int = 4,
+):
+    """Run the reference's 4x10 motion-only BA schedule.
+
+    Returns (Tcw [4,4], inlier_mask [N], n_inliers int32).
+    """
+    delta_mono = jnp.sqrt(CHI2_MONO)
+    delta_stereo = jnp.sqrt(CHI2_STEREO)
+
+    def lm_round(Tcw_init, inlier, use_huber):
+        def body(i, carry):
+            Tcw, lam, last_chi2 = carry
+            e, J, is_st, valid = _residual_jacobian(Tcw, obs, T_rc, K, bf)
+            act = inlier & valid
+            row = jnp.where(is_st[:, None],
+                            jnp.ones_like(e),
+                            jnp.broadcast_to(jnp.array([1.0, 1.0, 0.0], e.dtype), e.shape))
+            chi2 = jnp.sum(e * e * row, axis=-1) * obs.inv_sigma2
+            # Huber IRLS weight on the whitened residual norm
+            delta = jnp.where(is_st, delta_stereo, delta_mono)
+            r = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            hw = jnp.where(use_huber & (r > delta), delta / r, 1.0)
+            w = obs.inv_sigma2 * hw * act.astype(e.dtype)
+            We = e * row * w[:, None]
+            H = jnp.einsum("nri,nr,nrj->ij", J, row * w[:, None], J)
+            g = jnp.einsum("nri,nr->i", J, We)
+            # LM damping on the diagonal
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
+            dx = -jnp.linalg.solve(Hd, g)
+            Tcw_new = se3.exp(dx) @ Tcw
+            # evaluate new chi2 to accept/reject
+            e2, _, is_st2, valid2 = _residual_jacobian(Tcw_new, obs, T_rc, K, bf)
+            chi2_new_per = jnp.sum(e2 * e2 * row, axis=-1) * obs.inv_sigma2
+            r2n = jnp.sqrt(jnp.maximum(chi2_new_per, 1e-12))
+            rho_new = jnp.where(
+                use_huber & (r2n > delta),
+                delta * (2.0 * r2n - delta),
+                chi2_new_per,
+            )
+            rho_old = jnp.where(
+                use_huber & (r > delta), delta * (2.0 * r - delta), chi2
+            )
+            act2 = inlier & valid2
+            total_new = jnp.sum(jnp.where(act2, rho_new, 0.0))
+            total_old = jnp.sum(jnp.where(act, rho_old, 0.0))
+            accept = total_new < total_old
+            Tcw_out = jnp.where(accept, Tcw_new, Tcw)
+            lam_out = jnp.where(accept, lam * 0.5, lam * 4.0)
+            lam_out = jnp.clip(lam_out, 1e-9, 1e6)
+            return (Tcw_out, lam_out, jnp.where(accept, total_new, total_old))
+
+        init = (Tcw_init, jnp.asarray(1e-3, Tcw_init.dtype), jnp.asarray(jnp.inf, Tcw_init.dtype))
+        Tcw, _, _ = jax.lax.fori_loop(0, 10, body, init)
+        return Tcw
+
+    def reclassify(Tcw, _inlier):
+        e, _, is_st, valid = _residual_jacobian(Tcw, obs, T_rc, K, bf)
+        row = jnp.where(is_st[:, None],
+                        jnp.ones_like(e),
+                        jnp.broadcast_to(jnp.array([1.0, 1.0, 0.0], e.dtype), e.shape))
+        chi2 = jnp.sum(e * e * row, axis=-1) * obs.inv_sigma2
+        th = jnp.where(is_st, CHI2_STEREO, CHI2_MONO)
+        return (chi2 <= th) & valid
+
+    inlier = obs.mask
+    Tcw = Tcw0
+    for it in range(n_rounds):
+        use_huber = jnp.asarray(it < 2)
+        # reference restarts each round from the frame's input pose with the
+        # refined inlier set (Optimizer.cc:529-538)
+        Tcw = lm_round(Tcw0, inlier, use_huber)
+        inlier = reclassify(Tcw, inlier)
+    n_inliers = jnp.sum(inlier.astype(jnp.int32))
+    return Tcw, inlier, n_inliers
