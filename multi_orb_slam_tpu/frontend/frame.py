@@ -53,7 +53,7 @@ def sample_depth(
     return jnp.where(valid, d, 0.0)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(3,))
 def build_frame(
     grays: jnp.ndarray,       # [C, H, W] float32
     depths: jnp.ndarray,      # [C, H, W] float32 (meters; <=0 = no depth)

@@ -1,0 +1,571 @@
+"""Tracking: the per-frame state machine.
+
+Re-designs the reference `Tracking` class (src/Tracking.cc:339-675 Track())
+as a host-side state machine over a small set of jitted stage functions:
+
+- stereo/RGB-D initialization (reference StereoInitialization,
+  src/Tracking.cc:680-826)
+- motion-model tracking: project last frame's points, match, motion-only BA
+  (reference TrackWithMotionModel, src/Tracking.cc:1235-1328)
+- reference-keyframe fallback via brute-force descriptor matching
+  (reference TrackReferenceKeyFrame, src/Tracking.cc:1060-1119)
+- local-map tracking: covisibility-local points, projection search, second
+  pose optimization (reference TrackLocalMap + SearchLocalPoints,
+  src/Tracking.cc:1340-1405, 1702-1770)
+- keyframe decision + insertion with new close map points
+  (reference NeedNewKeyFrame / CreateNewKeyFrame, src/Tracking.cc:1411-1696)
+
+All heavy work is inside jit with static shapes; the host reads only a few
+scalars per frame (match counts, tracking state).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..mapping import map_state as ms
+from ..ops import hamming, orb, search
+from ..optim import pose_opt
+from . import frame as frame_mod
+
+
+class SlamConfig(NamedTuple):
+    """Static configuration (hashable: used as jit static arg)."""
+
+    n_cams: int = 1
+    max_feat: int = 1024
+    max_kf: int = 192
+    max_mp: int = 24576
+    local_cap: int = 4096
+    new_mp_per_cam: int = 192   # close points created per camera per KF
+    width: int = 640
+    height: int = 480
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    th_depth: float = 3.1       # close/far split in meters (bf*ThDepth/fx)
+    min_frames_kf: int = 0      # reference: 0 (Tracking.cc:102-108)
+    max_frames_kf: int = 30     # reference: fps
+    min_inliers_track: int = 30 # TrackLocalMap accept gate (Tracking.cc:1396)
+    min_matches_motion: int = 20
+    orb: orb.ORBConfig = orb.ORBConfig()
+
+
+def inv_sigma2_of_level(level: jnp.ndarray, cfg: SlamConfig) -> jnp.ndarray:
+    return 1.0 / (cfg.scale_factor ** (2.0 * level.astype(jnp.float32)))
+
+
+def unproject_features(
+    fr: frame_mod.FrameData, Tcw: jnp.ndarray, calib: cam_mod.CameraParams
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """World positions of all frame features with depth.
+
+    Reference: Frame::UnprojectStereo_camid (src/Frame.cc:1054-1097) —
+    camera-frame backprojection mapped through the rig extrinsic and the
+    inverse rig pose.
+    """
+    C = fr.xy.shape[0]
+    pw_list = []
+    ok_list = []
+    for c in range(C):
+        Tcam = calib.T_rc[c] @ Tcw
+        Twc = se3.inverse(Tcam)
+        xc = cam_mod.backproject(calib.K[c], fr.xy_und[c], fr.depth[c])
+        pw = se3.transform_points(Twc, xc)
+        ok = fr.valid[c] & (fr.depth[c] > 0)
+        pw_list.append(pw)
+        ok_list.append(ok)
+    return jnp.stack(pw_list), jnp.stack(ok_list)
+
+
+def _pose_obs_from_matches(
+    fr: frame_mod.FrameData, pw: jnp.ndarray, matched: jnp.ndarray, cfg: SlamConfig
+) -> pose_opt.PoseObs:
+    """Flatten [C, F] matches into a PoseObs batch."""
+    C, F = matched.shape
+    cam_idx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, F))
+    uvr = jnp.concatenate([fr.xy_und, fr.uright[..., None]], axis=-1)
+    return pose_opt.PoseObs(
+        pw=pw.reshape(C * F, 3),
+        uvr=uvr.reshape(C * F, 3),
+        cam_idx=cam_idx.reshape(C * F),
+        inv_sigma2=inv_sigma2_of_level(fr.level, cfg).reshape(C * F),
+        mask=matched.reshape(C * F),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(3,))
+def initialize_map(
+    state: ms.MapState,
+    fr: frame_mod.FrameData,
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+    frame_id: jnp.ndarray,
+):
+    """StereoInitialization: first KF at identity + map points from depth
+    in all cameras (reference src/Tracking.cc:680-826)."""
+    Tcw = jnp.eye(4, dtype=jnp.float32)
+    state, frame_mp = insert_keyframe_impl(
+        state, fr, Tcw, jnp.full(fr.valid.shape, -1, jnp.int32), calib, cfg,
+        frame_id, unlimited_new=True,
+    )
+    return state, Tcw, frame_mp
+
+
+# ---------------------------------------------------------------------------
+# Keyframe insertion (shared by init and CreateNewKeyFrame)
+# ---------------------------------------------------------------------------
+
+
+def insert_keyframe_impl(
+    state: ms.MapState,
+    fr: frame_mod.FrameData,
+    Tcw: jnp.ndarray,
+    frame_mp: jnp.ndarray,      # [C, F] matched map points of this frame
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+    frame_id: jnp.ndarray,
+    unlimited_new: bool = False,
+):
+    """Write the frame as a keyframe; create new close-depth map points.
+
+    Reference: KeyFrame ctor copy of `_total` arrays (src/KeyFrame.cc:31-84)
+    + CreateNewKeyFrame's close-point creation (src/Tracking.cc:1525-1696,
+    depth-sorted, cap 100/camera) + StereoInitialization when
+    `unlimited_new`.
+    """
+    C, F = fr.valid.shape
+    k = jnp.argmin(state.kf_valid)  # first free slot
+
+    # --- new map point candidates: valid depth, no existing match ---
+    close = (fr.depth > 0) & fr.valid & (frame_mp < 0)
+    if not unlimited_new:
+        close = close & (fr.depth < cfg.th_depth)
+        # cap per camera, nearest first (reference sorts by depth, cap 100)
+        cap = cfg.new_mp_per_cam
+        score = jnp.where(close, -fr.depth, -jnp.inf)
+        _, sel = jax.lax.top_k(score, cap)  # [C, cap] nearest per camera
+        keep = jnp.zeros((C, F), bool)
+        keep = keep.at[jnp.arange(C)[:, None], sel].set(
+            jnp.take_along_axis(close, sel, axis=1)
+        )
+        close = keep
+
+    pw_all, _ = unproject_features(fr, Tcw, calib)  # [C, F, 3]
+    want = close.reshape(-1)
+    slots = ms.allocate_mp_slots(state.mp_valid, want)  # [C*F]
+    created = slots >= 0
+    new_mp_grid = jnp.where(created, slots, -1).reshape(C, F)
+    kf_mp_new = jnp.where(frame_mp >= 0, frame_mp, new_mp_grid)
+
+    # rig camera centers for normals / scale ranges
+    centers = []
+    for c in range(C):
+        centers.append(se3.camera_center(calib.T_rc[c] @ Tcw))
+    centers = jnp.stack(centers)  # [C, 3]
+    cam_of_flat = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], (C, F)
+    ).reshape(-1)
+    pw_flat = pw_all.reshape(-1, 3)
+    po = pw_flat - centers[cam_of_flat]
+    dist = jnp.linalg.norm(po, axis=-1)
+    normal = po / jnp.maximum(dist[:, None], 1e-9)
+    min_d, max_d = ms.scale_range_from_obs(
+        dist, fr.level.reshape(-1), cfg.scale_factor, cfg.n_levels
+    )
+    tgt = jnp.where(created, slots, cfg.max_mp - 1)
+    put = created
+    mp_pos = state.mp_pos.at[tgt].set(
+        jnp.where(put[:, None], pw_flat, state.mp_pos[tgt]))
+    mp_valid = state.mp_valid.at[tgt].set(put | state.mp_valid[tgt])
+    desc_flat = fr.desc.reshape(-1, 8)
+    mp_desc = state.mp_desc.at[tgt].set(
+        jnp.where(put[:, None], desc_flat, state.mp_desc[tgt]))
+    mp_normal = state.mp_normal.at[tgt].set(
+        jnp.where(put[:, None], normal, state.mp_normal[tgt]))
+    mp_min = state.mp_min_dist.at[tgt].set(jnp.where(put, min_d, state.mp_min_dist[tgt]))
+    mp_max = state.mp_max_dist.at[tgt].set(jnp.where(put, max_d, state.mp_max_dist[tgt]))
+    mp_first_kf = state.mp_first_kf.at[tgt].set(jnp.where(put, k, state.mp_first_kf[tgt]))
+    mp_first_frame = state.mp_first_frame.at[tgt].set(
+        jnp.where(put, frame_id, state.mp_first_frame[tgt]))
+    # seed the descriptor buffer
+    mp_descbuf = state.mp_descbuf.at[tgt, 0].set(
+        jnp.where(put[:, None], desc_flat, state.mp_descbuf[tgt, 0]))
+    mp_descbuf_n = state.mp_descbuf_n.at[tgt].set(
+        jnp.where(put, 1, state.mp_descbuf_n[tgt]))
+    mp_visible = state.mp_visible.at[tgt].set(jnp.where(put, 1, state.mp_visible[tgt]))
+    mp_found = state.mp_found.at[tgt].set(jnp.where(put, 1, state.mp_found[tgt]))
+
+    # --- push observation descriptors of existing matches into buffers ---
+    obs_flat = kf_mp_new.reshape(-1)
+    has_obs = (obs_flat >= 0) & ~created  # existing points observed again
+    ot = jnp.where(has_obs, obs_flat, cfg.max_mp - 1)
+    slot_in_buf = jnp.where(has_obs, mp_descbuf_n[ot] % ms.DESC_BUF, 0)
+    mp_descbuf = mp_descbuf.at[ot, slot_in_buf].set(
+        jnp.where(has_obs[:, None], desc_flat, mp_descbuf[ot, slot_in_buf]))
+    mp_descbuf_n = mp_descbuf_n.at[ot].add(has_obs.astype(jnp.int32))
+    # refresh distinctive descriptors for all points (cheap batched op)
+    mp_desc = jnp.where(
+        mp_valid[:, None], ms.update_mp_descriptor(mp_descbuf, mp_descbuf_n), mp_desc
+    )
+
+    # --- write the keyframe ---
+    new_state = state._replace(
+        kf_Tcw=state.kf_Tcw.at[k].set(Tcw),
+        kf_valid=state.kf_valid.at[k].set(True),
+        kf_frame_id=state.kf_frame_id.at[k].set(frame_id),
+        kf_xy_und=state.kf_xy_und.at[k].set(fr.xy_und),
+        kf_uright=state.kf_uright.at[k].set(fr.uright),
+        kf_depth=state.kf_depth.at[k].set(fr.depth),
+        kf_level=state.kf_level.at[k].set(fr.level),
+        kf_angle=state.kf_angle.at[k].set(fr.angle),
+        kf_desc=state.kf_desc.at[k].set(fr.desc),
+        kf_feat_valid=state.kf_feat_valid.at[k].set(fr.valid),
+        kf_mp=state.kf_mp.at[k].set(kf_mp_new),
+        mp_pos=mp_pos,
+        mp_valid=mp_valid,
+        mp_desc=mp_desc,
+        mp_descbuf=mp_descbuf,
+        mp_descbuf_n=mp_descbuf_n,
+        mp_normal=mp_normal,
+        mp_min_dist=mp_min,
+        mp_max_dist=mp_max,
+        mp_first_kf=mp_first_kf,
+        mp_first_frame=mp_first_frame,
+        mp_visible=mp_visible,
+        mp_found=mp_found,
+        n_kf=state.n_kf + 1,
+        n_mp=state.n_mp + jnp.sum(created.astype(jnp.int32)),
+        next_kf_id=state.next_kf_id + 1,
+    )
+    # refresh normals/scale ranges of re-observed points
+    new_state = update_point_geometry(new_state, cfg)
+    return new_state, kf_mp_new
+
+
+@partial(jax.jit, static_argnums=(1,))
+def update_point_geometry(state: ms.MapState, cfg: SlamConfig) -> ms.MapState:
+    """Recompute mean viewing normal and scale-invariance range per point.
+
+    Reference: MapPoint::UpdateNormalAndDepth (src/MapPoint.cc:480-557),
+    batched over the whole map via scatter-adds.
+    """
+    K, C, F = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+    obs = state.kf_mp.reshape(K, C * F)
+    valid = (obs >= 0) & state.kf_valid[:, None] & state.kf_feat_valid.reshape(K, C * F)
+    tgt = jnp.where(valid, obs, M - 1)
+    # per-(kf,cam) centers: need T_rc; centers of rig cam0 suffice for
+    # normals when rig extrinsics are small; for exactness we use rig body
+    # center (cam0) as the reference anchors normals to cam1's center too
+    # (KeyFrame::GetCameraCenter vs _cam2; difference is the small baseline).
+    Ow = se3.camera_center(state.kf_Tcw)  # [K, 3]
+    po = state.mp_pos[tgt] - Ow[:, None, :]
+    dist = jnp.linalg.norm(po, axis=-1)
+    n = po / jnp.maximum(dist[..., None], 1e-9)
+    w = valid.astype(jnp.float32)
+    nsum = jnp.zeros((M, 3), jnp.float32).at[tgt.reshape(-1)].add(
+        (n * w[..., None]).reshape(-1, 3))
+    cnt = jnp.zeros((M,), jnp.float32).at[tgt.reshape(-1)].add(w.reshape(-1))
+    normal = nsum / jnp.maximum(cnt[:, None], 1e-9)
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    # reference uses the *reference keyframe* (first obs) for the depth range;
+    # we approximate with the most recent observation's stats via max-scatter
+    level = state.kf_level.reshape(K, C * F)
+    min_d, max_d = ms.scale_range_from_obs(
+        dist, level, cfg.scale_factor, cfg.n_levels
+    )
+    # take the observation from the first (creating) keyframe when possible:
+    # approximate with mean over observations
+    mind_sum = jnp.zeros((M,), jnp.float32).at[tgt.reshape(-1)].add((min_d * w).reshape(-1))
+    maxd_sum = jnp.zeros((M,), jnp.float32).at[tgt.reshape(-1)].add((max_d * w).reshape(-1))
+    mind = mind_sum / jnp.maximum(cnt, 1e-9)
+    maxd = maxd_sum / jnp.maximum(cnt, 1e-9)
+    has = cnt > 0
+    return state._replace(
+        mp_normal=jnp.where(has[:, None], normal, state.mp_normal),
+        mp_min_dist=jnp.where(has, mind, state.mp_min_dist),
+        mp_max_dist=jnp.where(has, maxd, state.mp_max_dist),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-frame tracking stages
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(7,))
+def track_motion_model(
+    state: ms.MapState,
+    prev: frame_mod.FrameData,
+    prev_Tcw: jnp.ndarray,
+    prev_mp: jnp.ndarray,
+    velocity: jnp.ndarray,
+    cur: frame_mod.FrameData,
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+):
+    """Motion-model tracking: search prev-frame points, pose-optimize.
+
+    Reference TrackWithMotionModel (src/Tracking.cc:1235-1328). The temporal
+    'visual odometry' points the reference creates in UpdateLastFrame
+    (src/Tracking.cc:1126-1233) are subsumed: every prev feature with depth
+    participates, map point or not.
+    """
+    Tcw_pred = velocity @ prev_Tcw
+    prev_pw, prev_ok = unproject_features(prev, prev_Tcw, calib)
+    match_src, match_pw, match_mp = search.search_prev_frame(
+        prev_pw, prev_ok, prev.desc, prev.level, prev.angle, prev_mp,
+        cur.xy_und, cur.uright, cur.level, cur.angle, cur.desc, cur.valid,
+        Tcw_pred, calib.T_rc, calib.K, calib.bf,
+        cfg.width, cfg.height, cfg.scale_factor, cfg.n_levels,
+        th_radius=7.0,
+    )
+    matched = match_src >= 0
+    n_matches = jnp.sum(matched.astype(jnp.int32))
+    obs = _pose_obs_from_matches(cur, match_pw, matched, cfg)
+    Tcw, inlier, n_inl = pose_opt.optimize_pose(
+        Tcw_pred, obs, calib.T_rc, calib.K, calib.bf
+    )
+    # frame map-point assignment for inlier matches that were map points
+    inl_grid = inlier.reshape(matched.shape)
+    frame_mp = jnp.where(matched & inl_grid, match_mp, -1)
+    return Tcw, frame_mp, n_matches, n_inl
+
+
+@partial(jax.jit, static_argnums=(5,))
+def track_reference_kf(
+    state: ms.MapState,
+    ref_kf: jnp.ndarray,
+    prev_Tcw: jnp.ndarray,
+    cur: frame_mod.FrameData,
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+):
+    """Fallback: match against the reference keyframe's map points.
+
+    Reference TrackReferenceKeyFrame (src/Tracking.cc:1060-1119) with
+    brute-force matching standing in for SearchByBoW.
+    """
+    frame_mp = search.match_frame_kf_brute(
+        state.kf_desc[ref_kf], state.kf_feat_valid[ref_kf],
+        state.kf_mp[ref_kf], state.kf_angle[ref_kf],
+        cur.desc, cur.valid, cur.angle,
+        th=hamming.TH_LOW, nn_ratio=0.7,
+    )
+    matched = frame_mp >= 0
+    n_matches = jnp.sum(matched.astype(jnp.int32))
+    pw = state.mp_pos[jnp.clip(frame_mp, 0, cfg.max_mp - 1)]
+    obs = _pose_obs_from_matches(cur, pw, matched & state.mp_valid[
+        jnp.clip(frame_mp, 0, cfg.max_mp - 1)], cfg)
+    Tcw, inlier, n_inl = pose_opt.optimize_pose(
+        prev_Tcw, obs, calib.T_rc, calib.K, calib.bf
+    )
+    inl_grid = inlier.reshape(matched.shape)
+    frame_mp = jnp.where(matched & inl_grid, frame_mp, -1)
+    return Tcw, frame_mp, n_matches, n_inl
+
+
+@partial(jax.jit, static_argnums=(5,))
+def track_local_map(
+    state: ms.MapState,
+    Tcw: jnp.ndarray,
+    cur: frame_mod.FrameData,
+    frame_mp: jnp.ndarray,
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+):
+    """Local-map tracking (reference TrackLocalMap, src/Tracking.cc:1340-1405).
+
+    Local keyframes = those sharing observations with the current frame
+    (UpdateLocalKeyFrames, Tracking.cc:1778-1949); local points = their map
+    points; search + final pose optimization.
+    """
+    M = cfg.max_mp
+    K, C, F = state.kf_mp.shape
+    # mark current frame's points
+    fmp = frame_mp.reshape(-1)
+    in_frame = jnp.zeros(M, bool).at[jnp.where(fmp >= 0, fmp, M - 1)].max(fmp >= 0)
+    # KF weights: shared observation counts
+    kf_obs = state.kf_mp.reshape(K, -1)
+    kf_w = jnp.sum(
+        jnp.where((kf_obs >= 0) & state.kf_valid[:, None],
+                  in_frame[jnp.clip(kf_obs, 0, M - 1)], False).astype(jnp.int32),
+        axis=-1,
+    )
+    # local KFs: any sharing (reference caps at 80 KFs)
+    n_local = 80
+    _, local_kfs = jax.lax.top_k(kf_w, min(n_local, K))
+    local_ok = kf_w[local_kfs] > 0
+    # local points: observed by local KFs
+    local_mask = jnp.zeros(M, bool)
+    lk = jnp.where(local_ok, local_kfs, 0)
+    obs_of_local = state.kf_mp[lk].reshape(local_ok.shape[0], -1)
+    obs_valid = (obs_of_local >= 0) & local_ok[:, None]
+    local_mask = local_mask.at[
+        jnp.where(obs_valid, obs_of_local, M - 1).reshape(-1)
+    ].max(obs_valid.reshape(-1))
+    local_mask = local_mask & state.mp_valid & ~in_frame
+
+    pts = search.gather_local_points(state, local_mask, cfg.local_cap)
+    taken = frame_mp >= 0
+    new_mp, visible = search.search_points_in_frame(
+        pts, cur.xy_und, cur.uright, cur.level, cur.desc, cur.valid, taken,
+        Tcw, calib.T_rc, calib.K, calib.bf,
+        cfg.width, cfg.height, cfg.scale_factor, cfg.n_levels,
+        th_radius=4.0, nn_ratio=0.8,
+    )
+    merged = jnp.where(frame_mp >= 0, frame_mp, new_mp)
+    matched = merged >= 0
+    pw = state.mp_pos[jnp.clip(merged, 0, M - 1)]
+    obs = _pose_obs_from_matches(
+        cur, pw, matched & state.mp_valid[jnp.clip(merged, 0, M - 1)], cfg
+    )
+    Tcw_out, inlier, n_inl = pose_opt.optimize_pose(
+        Tcw, obs, calib.T_rc, calib.K, calib.bf
+    )
+    inl_grid = inlier.reshape(matched.shape)
+    final_mp = jnp.where(matched & inl_grid, merged, -1)
+
+    # visibility / found bookkeeping (reference IncreaseVisible/Found)
+    vis_idx = jnp.where(pts.valid & visible, pts.idx, M - 1)
+    mp_visible = state.mp_visible.at[vis_idx].add(
+        (pts.valid & visible).astype(jnp.int32))
+    fm = final_mp.reshape(-1)
+    mp_found = state.mp_found.at[jnp.where(fm >= 0, fm, M - 1)].add(
+        (fm >= 0).astype(jnp.int32))
+    state = state._replace(mp_visible=mp_visible, mp_found=mp_found)
+    return state, Tcw_out, final_mp, n_inl
+
+
+# ---------------------------------------------------------------------------
+# Host-side tracker
+# ---------------------------------------------------------------------------
+
+
+class TrackState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+class Tracker:
+    """Host orchestration of the jitted stages (one device sync per frame)."""
+
+    def __init__(self, calib: cam_mod.CameraParams, cfg: SlamConfig):
+        self.calib = calib
+        self.cfg = cfg
+        self.map = ms.make_empty(cfg.max_kf, cfg.n_cams, cfg.max_feat, cfg.max_mp)
+        self.state = TrackState.NOT_INITIALIZED
+        self.Tcw = jnp.eye(4, dtype=jnp.float32)
+        self.velocity = jnp.eye(4, dtype=jnp.float32)
+        self.prev_frame = None
+        self.prev_mp = None
+        self.prev_Tcw = None
+        self.frame_id = 0
+        self.last_kf_frame = -999
+        self.last_kf_slot = 0
+        self.ref_kf_tracked = 0
+        self.trajectory = []   # (frame_id, Tcw ndarray)
+        self.kf_inserted_cb = None
+
+    def process(self, grays: np.ndarray, depths: np.ndarray):
+        cfg = self.cfg
+        fr = frame_mod.build_frame(
+            jnp.asarray(grays), jnp.asarray(depths), self.calib, cfg.orb
+        )
+        fid = jnp.asarray(self.frame_id, jnp.int32)
+        if self.state == TrackState.NOT_INITIALIZED:
+            n_depth = int(jnp.sum((fr.depth > 0) & fr.valid))
+            # reference gate: >500 stereo points with nFeatures=1000
+            # (Tracking.cc:682); scale with capacity
+            if n_depth >= min(500, cfg.max_feat // 2):
+                self.map, self.Tcw, frame_mp = initialize_map(
+                    self.map, fr, self.calib, cfg, fid
+                )
+                self.state = TrackState.OK
+                self.prev_frame, self.prev_mp = fr, frame_mp
+                self.prev_Tcw = self.Tcw
+                self.last_kf_frame = self.frame_id
+                self.last_kf_slot = 0
+                self.ref_kf_tracked = int(jnp.sum(frame_mp >= 0))
+            self._record()
+            self.frame_id += 1
+            return self.state
+
+        # --- motion-model tracking (or ref-KF fallback) ---
+        Tcw, frame_mp, n_match, n_inl = track_motion_model(
+            self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
+            self.velocity, fr, self.calib, cfg,
+        )
+        if int(n_inl) < cfg.min_matches_motion:
+            Tcw, frame_mp, n_match, n_inl = track_reference_kf(
+                self.map, jnp.asarray(self.last_kf_slot), self.prev_Tcw,
+                fr, self.calib, cfg,
+            )
+        if int(n_inl) < cfg.min_matches_motion:
+            self.state = TrackState.LOST
+            self._record()
+            self.frame_id += 1
+            return self.state
+
+        # --- local map tracking ---
+        self.map, Tcw, frame_mp, n_inl = track_local_map(
+            self.map, Tcw, fr, frame_mp, self.calib, cfg
+        )
+        n_inl = int(n_inl)
+        if n_inl < cfg.min_inliers_track:
+            self.state = TrackState.LOST
+            self._record()
+            self.frame_id += 1
+            return self.state
+
+        self.state = TrackState.OK
+        self.velocity = Tcw @ se3.inverse(self.prev_Tcw)
+        self.Tcw = Tcw
+
+        # --- keyframe decision (simplified NeedNewKeyFrame) ---
+        since_kf = self.frame_id - self.last_kf_frame
+        need_kf = (
+            since_kf >= cfg.max_frames_kf
+            or (since_kf >= cfg.min_frames_kf
+                and n_inl < 0.9 * max(self.ref_kf_tracked, 1))
+        )
+        if need_kf and int(self.map.n_kf) < cfg.max_kf - 1:
+            self.map, kf_mp = insert_keyframe_jit(
+                self.map, fr, Tcw, frame_mp, self.calib, cfg, fid
+            )
+            self.last_kf_frame = self.frame_id
+            self.last_kf_slot = int(jnp.argmax(
+                jnp.where(self.map.kf_valid, self.map.kf_frame_id, -1)))
+            self.ref_kf_tracked = n_inl
+            frame_mp = kf_mp
+            if self.kf_inserted_cb is not None:
+                self.kf_inserted_cb(self.last_kf_slot)
+
+        self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, Tcw
+        self._record()
+        self.frame_id += 1
+        return self.state
+
+    def _record(self):
+        self.trajectory.append((self.frame_id, np.asarray(self.Tcw)))
+
+
+@partial(jax.jit, static_argnums=(5,))
+def insert_keyframe_jit(state, fr, Tcw, frame_mp, calib, cfg, frame_id):
+    return insert_keyframe_impl(
+        state, fr, Tcw, frame_mp, calib, cfg, frame_id, unlimited_new=False
+    )
