@@ -1,0 +1,41 @@
+"""Static SLAM configuration shared across stages.
+
+Mirrors the reference's YAML-driven settings (src/Tracking.cc:67-175 parses
+camera intrinsics, ORB parameters, depth thresholds from multi.yaml) in one
+hashable NamedTuple used as a jit static argument.  Capacities (max_kf,
+max_mp, max_feat) are the fixed-shape substitute for the reference's
+dynamically growing pointer graph (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .ops import orb
+
+
+class SlamConfig(NamedTuple):
+    """Static configuration (hashable: used as jit static arg)."""
+
+    n_cams: int = 1
+    max_feat: int = 1024
+    max_kf: int = 192
+    max_mp: int = 24576
+    local_cap: int = 4096
+    new_mp_per_cam: int = 192   # close points created per camera per KF
+    width: int = 640
+    height: int = 480
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    th_depth: float = 3.1       # close/far split in meters (bf*ThDepth/fx)
+    min_frames_kf: int = 0      # reference: 0 (Tracking.cc:102-108)
+    max_frames_kf: int = 30     # reference: fps
+    min_inliers_track: int = 30 # TrackLocalMap accept gate (Tracking.cc:1396)
+    min_matches_motion: int = 20
+    orb: orb.ORBConfig = orb.ORBConfig()
+
+
+def inv_sigma2_of_level(level: jnp.ndarray, cfg: SlamConfig) -> jnp.ndarray:
+    return 1.0 / (cfg.scale_factor ** (2.0 * level.astype(jnp.float32)))

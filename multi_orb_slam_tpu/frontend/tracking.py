@@ -28,37 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import SlamConfig, inv_sigma2_of_level
 from ..geometry import camera as cam_mod
 from ..geometry import se3
 from ..mapping import map_state as ms
 from ..ops import hamming, orb, search
 from ..optim import pose_opt
 from . import frame as frame_mod
-
-
-class SlamConfig(NamedTuple):
-    """Static configuration (hashable: used as jit static arg)."""
-
-    n_cams: int = 1
-    max_feat: int = 1024
-    max_kf: int = 192
-    max_mp: int = 24576
-    local_cap: int = 4096
-    new_mp_per_cam: int = 192   # close points created per camera per KF
-    width: int = 640
-    height: int = 480
-    scale_factor: float = 1.2
-    n_levels: int = 8
-    th_depth: float = 3.1       # close/far split in meters (bf*ThDepth/fx)
-    min_frames_kf: int = 0      # reference: 0 (Tracking.cc:102-108)
-    max_frames_kf: int = 30     # reference: fps
-    min_inliers_track: int = 30 # TrackLocalMap accept gate (Tracking.cc:1396)
-    min_matches_motion: int = 20
-    orb: orb.ORBConfig = orb.ORBConfig()
-
-
-def inv_sigma2_of_level(level: jnp.ndarray, cfg: SlamConfig) -> jnp.ndarray:
-    return 1.0 / (cfg.scale_factor ** (2.0 * level.astype(jnp.float32)))
 
 
 def unproject_features(
@@ -553,7 +529,11 @@ class Tracker:
             self.ref_kf_tracked = n_inl
             frame_mp = kf_mp
             if self.kf_inserted_cb is not None:
-                self.kf_inserted_cb(self.last_kf_slot)
+                # mapping stage hook: local BA / triangulation / culling;
+                # may transform the map (returns the new MapState or None)
+                new_map = self.kf_inserted_cb(self.last_kf_slot)
+                if new_map is not None:
+                    self.map = new_map
 
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, Tcw
         self._record()

@@ -1,0 +1,270 @@
+"""Local mapping stage: local-BA windowing + map write-back.
+
+The reference runs LocalMapping as a free thread (src/LocalMapping.cc:55-157);
+here it is a deterministic stage invoked after keyframe insertion
+(SURVEY.md §7.1: "Sequential pipeline, batched stages").  This module owns:
+
+- local BA problem extraction (the covisible-KF window of
+  Optimizer::LocalBundleAdjustment, src/Optimizer.cc:921-1353: covisible KFs
+  free, observing KFs fixed, their points marginalized)
+- write-back of optimized poses/points and erasure of outlier observations
+  (src/Optimizer.cc:1290-1325)
+- map-point culling (src/LocalMapping.cc:225-270)
+- keyframe culling (src/LocalMapping.cc:966-1038)
+- triangulation of new points and neighbor fusion live in
+  `triangulation.py` / `fusion.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig, inv_sigma2_of_level
+from ..frontend.tracking import update_point_geometry
+from ..geometry import camera as cam_mod
+from ..optim import local_ba
+from . import map_state as ms
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def build_local_problem(
+    state: ms.MapState,
+    center_kf: jnp.ndarray,
+    cfg: SlamConfig,
+    n_free: int = 12,
+    n_fixed: int = 12,
+) -> local_ba.BAProblem:
+    """Extract the covisibility window around `center_kf` as a BAProblem."""
+    K, C, F = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+    P = cfg.local_cap
+
+    center_obs = state.kf_mp[center_kf].reshape(-1)
+    in_center = jnp.zeros(M, bool).at[
+        jnp.where(center_obs >= 0, center_obs, M - 1)
+    ].max(center_obs >= 0)
+    kfobs = state.kf_mp.reshape(K, -1)
+    kfobs_ok = (kfobs >= 0) & state.kf_valid[:, None]
+    share = jnp.sum(
+        (in_center[jnp.clip(kfobs, 0, M - 1)] & kfobs_ok).astype(jnp.int32),
+        axis=-1,
+    )
+    share = share.at[center_kf].set(1 << 24)  # center always first
+    w_free, free_kfs = jax.lax.top_k(share, n_free)
+    free_ok = (w_free > 0) & state.kf_valid[free_kfs]
+
+    # local points = points observed by the free window
+    fk = jnp.where(free_ok, free_kfs, 0)
+    obs_free = state.kf_mp[fk].reshape(n_free, -1)
+    obs_free_ok = (obs_free >= 0) & free_ok[:, None]
+    local_mask = jnp.zeros(M, bool).at[
+        jnp.where(obs_free_ok, obs_free, M - 1).reshape(-1)
+    ].max(obs_free_ok.reshape(-1))
+    local_mask = local_mask & state.mp_valid
+
+    # fixed KFs: observe local points but are not free
+    sees_local = jnp.sum(
+        (local_mask[jnp.clip(kfobs, 0, M - 1)] & kfobs_ok).astype(jnp.int32),
+        axis=-1,
+    )
+    is_free = jnp.zeros(K, bool).at[jnp.where(free_ok, free_kfs, K - 1)].max(free_ok)
+    sees_local = jnp.where(is_free | ~state.kf_valid, -1, sees_local)
+    w_fix, fixed_kfs = jax.lax.top_k(sees_local, n_fixed)
+    fixed_ok = w_fix > 0
+
+    # compact local points
+    score = local_mask.astype(jnp.int32)
+    _, order = jax.lax.top_k(score * (1 << 20) - jnp.arange(M), P)
+    sel_ok = local_mask[order]
+    mp_slot = jnp.where(sel_ok, order, -1)
+    lookup = jnp.full(M, -1, jnp.int32).at[
+        jnp.where(sel_ok, order, M - 1)
+    ].set(jnp.where(sel_ok, jnp.arange(P, dtype=jnp.int32), -1))
+
+    L = n_free + n_fixed
+    kf_slots = jnp.concatenate([free_kfs, fixed_kfs]).astype(jnp.int32)
+    kf_ok = jnp.concatenate([free_ok, fixed_ok])
+    kf_free = jnp.concatenate([free_ok, jnp.zeros(n_fixed, bool)])
+    # gauge anchor: the reference fixes KF id 0 when present
+    # (Optimizer.cc:1046); our slot 0 is the first keyframe ever created.
+    kf_free = kf_free & ~((kf_slots == 0) & kf_ok)
+    # if nothing anchors the gauge (no fixed KFs, KF0 absent), fix the oldest
+    has_anchor = jnp.any(kf_ok & ~kf_free)
+    fid = jnp.where(kf_ok, state.kf_frame_id[kf_slots], 1 << 30)
+    oldest = jnp.argmin(fid)
+    kf_free = kf_free & ~(
+        (~has_anchor) & (jnp.arange(L) == oldest)
+    )
+
+    ks = jnp.where(kf_ok, kf_slots, 0)
+    obs_mp_raw = state.kf_mp[ks]  # [L, C, F]
+    obs_mp = jnp.where(
+        (obs_mp_raw >= 0) & kf_ok[:, None, None]
+        & state.kf_feat_valid[ks],
+        lookup[jnp.clip(obs_mp_raw, 0, M - 1)],
+        -1,
+    )
+    obs_uvr = jnp.concatenate(
+        [state.kf_xy_und[ks], state.kf_uright[ks][..., None]], axis=-1
+    )
+    inv_s2 = inv_sigma2_of_level(state.kf_level[ks], cfg)
+    return local_ba.BAProblem(
+        kf_slot=jnp.where(kf_ok, kf_slots, -1),
+        kf_Tcw=state.kf_Tcw[ks],
+        kf_free=kf_free,
+        kf_valid=kf_ok,
+        mp_slot=mp_slot,
+        mp_pos=state.mp_pos[jnp.clip(mp_slot, 0, M - 1)],
+        mp_valid=sel_ok,
+        obs_mp=obs_mp,
+        obs_uvr=obs_uvr,
+        obs_inv_sigma2=inv_s2,
+    )
+
+
+@partial(jax.jit, static_argnums=(5,))
+def apply_ba_result(
+    state: ms.MapState,
+    prob: local_ba.BAProblem,
+    kf_Tcw_new: jnp.ndarray,
+    mp_pos_new: jnp.ndarray,
+    obs_inlier: jnp.ndarray,
+    cfg: SlamConfig,
+) -> ms.MapState:
+    """Write optimized poses/points back; erase outlier observations.
+
+    Reference: Optimizer.cc:1290-1345 (erase KF<->MP observations whose chi2
+    failed, then overwrite poses and point positions).
+    """
+    K, C, F = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+    L = prob.kf_slot.shape[0]
+
+    # poses (free KFs only; dummy writes to reserved slot K-1)
+    tgt_kf = jnp.where(prob.kf_valid & prob.kf_free, prob.kf_slot, K - 1)
+    put = (prob.kf_valid & prob.kf_free)[:, None, None]
+    kf_Tcw = state.kf_Tcw.at[tgt_kf].set(
+        jnp.where(put, kf_Tcw_new, state.kf_Tcw[tgt_kf]))
+
+    # points
+    tgt_mp = jnp.where(prob.mp_valid, prob.mp_slot, M - 1)
+    putp = prob.mp_valid[:, None]
+    mp_pos = state.mp_pos.at[tgt_mp].set(
+        jnp.where(putp, mp_pos_new, state.mp_pos[tgt_mp]))
+
+    # erase outlier observations
+    tgt_rows = jnp.where(prob.kf_valid, prob.kf_slot, K - 1)
+    rows = state.kf_mp[tgt_rows]  # [L, C, F]
+    erase = (prob.obs_mp >= 0) & ~obs_inlier & prob.kf_valid[:, None, None]
+    rows = jnp.where(erase, -1, rows)
+    kf_mp = state.kf_mp.at[tgt_rows].set(rows)
+
+    state = state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp)
+    return update_point_geometry(state, cfg)
+
+
+def run_local_ba(
+    state: ms.MapState,
+    center_kf,
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+    n_free: int = 12,
+    n_fixed: int = 12,
+) -> ms.MapState:
+    """Full local BA pass around a keyframe (build -> solve -> apply)."""
+    prob = build_local_problem(
+        state, jnp.asarray(center_kf, jnp.int32), cfg, n_free, n_fixed
+    )
+    kf_Tcw, mp_pos, inlier = solve_ba_jit(prob, calib.T_rc, calib.K, calib.bf)
+    return apply_ba_result(state, prob, kf_Tcw, mp_pos, inlier, cfg)
+
+
+@jax.jit
+def solve_ba_jit(prob, T_rc, K, bf):
+    return local_ba.solve_ba(prob, T_rc, K, bf)
+
+
+# ---------------------------------------------------------------------------
+# Map point culling (reference LocalMapping::MapPointCulling, :225-270)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2,))
+def cull_map_points(
+    state: ms.MapState, current_frame_id: jnp.ndarray, cfg: SlamConfig
+) -> ms.MapState:
+    """Remove low-quality recent points.
+
+    Reference rules (LocalMapping.cc:225-270): found/visible ratio < 0.25, or
+    >= 2 frames old with <= 3 (weighted) observations; points older than 3
+    frames graduate and are kept.
+    """
+    M = state.mp_pos.shape[0]
+    ratio = state.mp_found.astype(jnp.float32) / jnp.maximum(
+        state.mp_visible.astype(jnp.float32), 1.0)
+    age = current_frame_id - state.mp_first_frame
+    wobs = ms.mp_weighted_obs(state)
+    bad = (ratio < 0.25) | ((age >= 2 * cfg.max_frames_kf) & (wobs <= 3))
+    # grace period: only points still in their probation window get culled
+    probation = age <= 3 * cfg.max_frames_kf
+    kill = state.mp_valid & bad & probation
+    mp_valid = state.mp_valid & ~kill
+    # drop observations of killed points
+    killed_of = kill[jnp.clip(state.kf_mp, 0, M - 1)] & (state.kf_mp >= 0)
+    kf_mp = jnp.where(killed_of, -1, state.kf_mp)
+    n_killed = jnp.sum(kill.astype(jnp.int32))
+    return state._replace(
+        mp_valid=mp_valid, kf_mp=kf_mp, n_mp=state.n_mp - n_killed
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyframe culling (reference LocalMapping::KeyFrameCulling, :966-1038)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2,))
+def cull_keyframes(
+    state: ms.MapState, center_kf: jnp.ndarray, cfg: SlamConfig
+) -> ms.MapState:
+    """Discard redundant local keyframes.
+
+    Reference rule: a KF whose map points are >= 90% seen by >= 3 other KFs
+    at the same-or-finer scale is redundant (LocalMapping.cc:966-1038).  We
+    apply it to the covisibility neighbors of `center_kf`, never to slot 0.
+    """
+    K, C, F = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+    obs_cnt = ms.mp_observation_count(state)  # [M]
+    kfobs = state.kf_mp  # [K, C, F]
+    has = (kfobs >= 0) & state.kf_feat_valid
+    cnt_of = obs_cnt[jnp.clip(kfobs, 0, M - 1)]
+    # observed by >= 3 others (total count >= 4); scale check approximated by
+    # count alone (the reference also requires same-or-finer octave)
+    redundant = has & (cnt_of >= 4)
+    n_pts = jnp.sum(has.astype(jnp.int32), axis=(1, 2))
+    n_red = jnp.sum(redundant.astype(jnp.int32), axis=(1, 2))
+    ratio = n_red.astype(jnp.float32) / jnp.maximum(n_pts.astype(jnp.float32), 1.0)
+
+    # only cull covisibility neighbors of the center KF
+    W = ms.covisibility(state)
+    neighbor = W[center_kf] >= 15.0
+    cand = (
+        state.kf_valid & neighbor & (ratio > 0.9)
+        & (jnp.arange(K) != 0) & (jnp.arange(K) != center_kf)
+    )
+    # cull at most one KF per pass (the reference loops; one-per-pass keeps
+    # covisibility consistent between erasures)
+    victim = jnp.argmax(cand.astype(jnp.int32) * (1.0 + ratio))
+    do = cand[victim]
+    kf_valid = state.kf_valid.at[victim].set(
+        jnp.where(do, False, state.kf_valid[victim]))
+    rows = jnp.where(do, -1, state.kf_mp[victim])
+    kf_mp = state.kf_mp.at[victim].set(rows)
+    return state._replace(
+        kf_valid=kf_valid, kf_mp=kf_mp,
+        n_kf=state.n_kf - do.astype(jnp.int32),
+    )

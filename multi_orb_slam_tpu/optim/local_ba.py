@@ -1,0 +1,212 @@
+"""Local bundle adjustment with an explicit Schur complement.
+
+Replaces `Optimizer::LocalBundleAdjustment` (src/Optimizer.cc:921-1353):
+covisible keyframes free, observer keyframes fixed, points marginalized.
+Where g2o builds a sparse block solver and marginalizes point blocks inside
+Cholesky (`BlockSolver_6_3` + `setMarginalized(true)`), the TPU design makes
+the Schur complement explicit and dense-batched:
+
+  H_cc (per-KF 6x6 blocks)      <- segment-sum of J_c^T W J_c over obs
+  H_pp (per-point 3x3 blocks)   <- segment-sum of J_p^T W J_p
+  W_cp [P, L, 6, 3]             <- scatter-add of J_c^T W J_p
+  S = H_cc - sum_p W_cp Hpp^-1 W_cp^T    (one big MXU matmul)
+  solve dense S dx_c = rhs; back-substitute points.
+
+Schedule mirrors the reference: optimize(5) with Huber -> chi2 gate
+(5.991 / 7.815, negative depth) -> optimize(10) without Huber -> report
+outlier observations for erasure (Optimizer.cc:1212-1325).
+
+The same solver at full scope (all KFs free except the first) implements
+`GlobalBundleAdjustemnt` (src/Optimizer.cc:47-330); see `global_ba.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from . import residuals
+from .pose_opt import CHI2_MONO, CHI2_STEREO
+
+
+class BAProblem(NamedTuple):
+    """A windowed BA problem with static capacities L (KFs) and P (points).
+
+    Observations stay in the [L, C, F] keyframe-feature layout.
+    """
+
+    kf_slot: jnp.ndarray     # [L] map KF slot ids (-1 pad)
+    kf_Tcw: jnp.ndarray      # [L, 4, 4]
+    kf_free: jnp.ndarray     # [L] bool: pose is optimized
+    kf_valid: jnp.ndarray    # [L] bool
+    mp_slot: jnp.ndarray     # [P] map MP slot ids (-1 pad)
+    mp_pos: jnp.ndarray      # [P, 3]
+    mp_valid: jnp.ndarray    # [P] bool
+    obs_mp: jnp.ndarray      # [L, C, F] local point index or -1
+    obs_uvr: jnp.ndarray     # [L, C, F, 3]
+    obs_inv_sigma2: jnp.ndarray  # [L, C, F]
+
+
+def solve_ba(
+    prob: BAProblem,
+    T_rc: jnp.ndarray,    # [C, 4, 4]
+    K: jnp.ndarray,       # [C, 4]
+    bf: jnp.ndarray,
+    phases: tuple = ((5, True), (10, False)),
+    chi2_gate_between: bool = True,
+):
+    """Run the two-phase LM schedule. Returns (kf_Tcw, mp_pos, obs_inlier).
+
+    obs_inlier [L, C, F]: observations that survived the chi2 gates — the
+    caller erases the rest from the map (reference Optimizer.cc:1290-1325).
+    """
+    L, C, F = prob.obs_mp.shape
+    P = prob.mp_pos.shape[0]
+    N = L * C * F
+    dtype = prob.mp_pos.dtype
+
+    obs_kf = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[:, None, None], (L, C, F)
+    ).reshape(N)
+    obs_cam = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[None, :, None], (L, C, F)
+    ).reshape(N)
+    obs_mp = prob.obs_mp.reshape(N)
+    obs_uvr = prob.obs_uvr.reshape(N, 3)
+    obs_is2 = prob.obs_inv_sigma2.reshape(N)
+    obs_valid = (
+        (obs_mp >= 0)
+        & prob.kf_valid[obs_kf]
+        & prob.mp_valid[jnp.clip(obs_mp, 0, P - 1)]
+    )
+    mp_idx = jnp.clip(obs_mp, 0, P - 1)
+
+    delta_m = jnp.sqrt(CHI2_MONO)
+    delta_s = jnp.sqrt(CHI2_STEREO)
+
+    def residual_state(kf_Tcw, mp_pos):
+        Tcw_o = kf_Tcw[obs_kf]
+        Xw_o = mp_pos[mp_idx]
+        Trc_o = T_rc[obs_cam]
+        K_o = K[obs_cam]
+        return residuals.reproj_residual(Tcw_o, Xw_o, Trc_o, K_o, bf, obs_uvr)
+
+    def chi2_of(e, is_st):
+        row = residuals.row_weights(is_st, dtype)
+        return jnp.sum(e * e * row, axis=-1) * obs_is2
+
+    def lm_phase(kf_Tcw, mp_pos, active, n_iters, use_huber):
+        n_free = jnp.maximum(jnp.sum(prob.kf_free.astype(jnp.int32)), 1)
+
+        def body(it, carry):
+            kf_Tcw, mp_pos, lam, _ = carry
+            e, Jc, Jp, is_st, posd = residual_state(kf_Tcw, mp_pos)
+            act = active & obs_valid & posd
+            row = residuals.row_weights(is_st, dtype)
+            chi2 = chi2_of(e, is_st)
+            delta = jnp.where(is_st, delta_s, delta_m)
+            r = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            hw = jnp.where(use_huber & (r > delta), delta / r, 1.0)
+            w = obs_is2 * hw * act.astype(dtype)
+            Wr = row * w[:, None]              # [N, 3] row weights
+
+            free_o = prob.kf_free[obs_kf]
+            Jc_eff = Jc * free_o[:, None, None].astype(dtype)
+
+            # H_cc blocks [L, 6, 6] and rhs
+            JTc = Jc_eff * Wr[:, :, None]      # weighted rows
+            Hcc = jnp.zeros((L, 6, 6), dtype).at[obs_kf].add(
+                jnp.einsum("nri,nrj->nij", JTc, Jc_eff))
+            bc = jnp.zeros((L, 6), dtype).at[obs_kf].add(
+                jnp.einsum("nri,nr->ni", JTc, e))
+            # H_pp blocks [P, 3, 3] and rhs
+            JTp = Jp * Wr[:, :, None]
+            Hpp = jnp.zeros((P, 3, 3), dtype).at[mp_idx].add(
+                jnp.einsum("nri,nrj->nij", JTp, Jp))
+            bp = jnp.zeros((P, 3), dtype).at[mp_idx].add(
+                jnp.einsum("nri,nr->ni", JTp, e))
+            # W_cp [P, L, 6, 3]
+            Wcp = jnp.zeros((P, L, 6, 3), dtype).at[mp_idx, obs_kf].add(
+                jnp.einsum("nri,nrj->nij", JTc, Jp))
+
+            # Multiplicative LM damping: scales with each block, keeping the
+            # f32 condition number bounded (absolute damping NaNs XLA's
+            # batched inv on thin-triangulation point blocks with cond~1e8).
+            eye6 = jnp.eye(6, dtype=dtype)
+            eye3 = jnp.eye(3, dtype=dtype)
+
+            def damp(H, eye):
+                d = jnp.diagonal(H, axis1=-2, axis2=-1)
+                tr = jnp.sum(d, axis=-1, keepdims=True)
+                dd = lam * d + 1e-6 * tr + 1e-9
+                return H + dd[..., :, None] * eye
+
+            Hcc_d = damp(Hcc, eye6)
+            # invalid points get an identity block so the inverse is defined
+            Hpp_d = damp(Hpp, eye3) + jnp.where(
+                prob.mp_valid, 0.0, 1.0
+            )[:, None, None] * eye3
+            Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+            # Schur: S = blockdiag(Hcc) - sum_p Y_p W_p^T  (dense [L*6, L*6])
+            Y = jnp.einsum("plij,pjk->plik", Wcp, Hpp_inv)     # [P, L, 6, 3]
+            Yr = Y.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
+            Wr_ = Wcp.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
+            S = -Yr.T @ Wr_                                     # [L6, L6]
+            li = jnp.arange(L)
+            S = S.reshape(L, 6, L, 6)
+            S = S.at[li, :, li, :].add(Hcc_d)
+            S = S.reshape(L * 6, L * 6)
+            # gauge: freeze non-free KFs by forcing identity rows
+            free6 = jnp.repeat(prob.kf_free, 6)
+            S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
+            S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+            rhs = bc.reshape(L * 6) - Yr.T @ bp.reshape(P * 3)
+            rhs = jnp.where(free6, rhs, 0.0)
+
+            dxc = -jnp.linalg.solve(S, rhs)
+            dxc = jnp.where(free6, dxc, 0.0).reshape(L, 6)
+            # back-substitute points: dp = -Hpp^-1 (bp + W^T dxc)
+            WTdx = jnp.einsum("plij,li->pj", Wcp, dxc)
+            dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp.reshape(P, 3) + WTdx)
+            dp = dp * prob.mp_valid[:, None]
+
+            kf_new = jax.vmap(lambda d, T: se3.exp(d) @ T)(dxc, kf_Tcw)
+            mp_new = mp_pos + dp
+
+            # accept/reject on robust total cost
+            e2, _, _, is2_, posd2 = residual_state(kf_new, mp_new)
+            chi2_new = chi2_of(e2, is2_)
+            rho = lambda c2, r_: jnp.where(  # noqa: E731
+                use_huber & (jnp.sqrt(jnp.maximum(c2, 1e-12)) > r_),
+                r_ * (2.0 * jnp.sqrt(jnp.maximum(c2, 1e-12)) - r_), c2)
+            tot_new = jnp.sum(jnp.where(act & posd2, rho(chi2_new, delta), 0.0))
+            tot_old = jnp.sum(jnp.where(act, rho(chi2, delta), 0.0))
+            accept = tot_new < tot_old
+            kf_out = jnp.where(accept, kf_new, kf_Tcw)
+            mp_out = jnp.where(accept, mp_new, mp_pos)
+            lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e8)
+            return (kf_out, mp_out, lam_out, jnp.where(accept, tot_new, tot_old))
+
+        init = (kf_Tcw, mp_pos, jnp.asarray(1e-4, dtype), jnp.asarray(jnp.inf, dtype))
+        kf_Tcw, mp_pos, _, _ = jax.lax.fori_loop(0, n_iters, body, init)
+        return kf_Tcw, mp_pos
+
+    kf_Tcw = prob.kf_Tcw
+    mp_pos = prob.mp_pos
+    active = obs_valid
+    for i, (iters, use_huber) in enumerate(phases):
+        kf_Tcw, mp_pos = lm_phase(
+            kf_Tcw, mp_pos, active, iters, jnp.asarray(use_huber)
+        )
+        if chi2_gate_between or i == len(phases) - 1:
+            e, _, _, is_st, posd = residual_state(kf_Tcw, mp_pos)
+            chi2 = chi2_of(e, is_st)
+            th = jnp.where(is_st, CHI2_STEREO, CHI2_MONO)
+            active = obs_valid & (chi2 <= th) & posd
+
+    return kf_Tcw, mp_pos, active.reshape(L, C, F)

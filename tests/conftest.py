@@ -27,5 +27,5 @@ jax.config.update("jax_platforms", "cpu")
 jax.extend.backend.clear_backends()
 
 # Persist compiles across test runs (4 weak cores; XLA compiles dominate).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
