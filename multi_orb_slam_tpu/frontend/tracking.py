@@ -123,6 +123,8 @@ def insert_keyframe_impl(
     """
     C, F = fr.valid.shape
     k = jnp.argmin(state.kf_valid)  # first free slot
+    # drop stale ids (merged/culled points) before they enter the map
+    frame_mp = ms.resolve_mp_ids(state, frame_mp)
 
     # --- new map point candidates: valid depth, no existing match ---
     close = (fr.depth > 0) & fr.valid & (frame_mp < 0)
@@ -301,6 +303,8 @@ def track_motion_model(
     participates, map point or not.
     """
     Tcw_pred = velocity @ prev_Tcw
+    # CheckReplacedInLastFrame (Tracking.cc:1020): redirect/drop stale ids
+    prev_mp = ms.resolve_mp_ids(state, prev_mp)
     prev_pw, prev_ok = unproject_features(prev, prev_Tcw, calib)
     match_src, match_pw, match_mp = search.search_prev_frame(
         prev_pw, prev_ok, prev.desc, prev.level, prev.angle, prev_mp,

@@ -1,0 +1,134 @@
+"""Map-point fusion between covisible keyframes.
+
+Replaces `LocalMapping::SearchInNeighbors` + `ORBmatcher::Fuse`
+(src/LocalMapping.cc:700-792, src/ORBmatcher.cc:1986-2191): project map
+points into a target keyframe's cameras; where a projected point lands on a
+feature that already observes another point, merge the two (keep the one
+with more observations, reference MapPoint::Replace src/MapPoint.cc:258-296);
+where it lands on a free feature, add the observation.
+
+All cameras are searched at once (the reference projects into both cameras
+sequentially, ORBmatcher.cc:2030-2158).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry import camera as cam_mod
+from ..ops import search
+from . import map_state as ms
+
+
+@partial(jax.jit, static_argnums=(3,))
+def fuse_into_kf(
+    state: ms.MapState,
+    src_mask: jnp.ndarray,     # [M] candidate map points to project
+    kf_t: jnp.ndarray,         # target keyframe slot
+    cfg: SlamConfig,
+    calib: cam_mod.CameraParams,
+):
+    """Project masked points into keyframe kf_t; add observations / merge."""
+    M = cfg.max_mp
+    K, C, F = state.kf_mp.shape
+    pts = search.gather_local_points(state, src_mask & state.mp_valid, cfg.local_cap)
+    # match against the KF's feature arrays (same layout as a frame);
+    # frame_taken=False so already-matched features participate (merges)
+    match_mp, _ = search.search_points_in_frame(
+        pts,
+        state.kf_xy_und[kf_t], state.kf_uright[kf_t], state.kf_level[kf_t],
+        state.kf_desc[kf_t], state.kf_feat_valid[kf_t],
+        jnp.zeros((C, F), bool),
+        state.kf_Tcw[kf_t], calib.T_rc, calib.K, calib.bf,
+        cfg.width, cfg.height, cfg.scale_factor, cfg.n_levels,
+        th_radius=3.0, nn_ratio=1.0,  # Fuse has no ratio test (TH_LOW only)
+        th_hamming=50, use_view_cos=True,
+    )
+    cur_mp = state.kf_mp[kf_t]                     # [C, F]
+    new_obs = (match_mp >= 0) & (cur_mp < 0)
+    conflict = (match_mp >= 0) & (cur_mp >= 0) & (match_mp != cur_mp)
+
+    # --- add observations on free features ---
+    kf_mp_row = jnp.where(new_obs, match_mp, cur_mp)
+    kf_mp = state.kf_mp.at[kf_t].set(kf_mp_row)
+
+    # --- merge conflicting pairs: loser -> winner by observation count ---
+    # Winner by a STRICT total order (obs count, then lower slot id): both
+    # orientations of the same pair agree, so no merge cycles can form.
+    obs_cnt = ms.mp_weighted_obs(state)
+    a = jnp.where(conflict, match_mp, 0)
+    b = jnp.where(conflict, cur_mp, 0)
+    key = obs_cnt * M + (M - jnp.arange(M, dtype=jnp.int32))
+    a_wins = key[a] > key[b]
+    winner = jnp.where(a_wins, a, b)
+    loser = jnp.where(a_wins, b, a)
+    replace = jnp.arange(M, dtype=jnp.int32)
+    lfl = jnp.where(conflict, loser, M - 1).reshape(-1)
+    wfl = jnp.where(conflict, winner, replace[lfl]).reshape(-1)
+    replace = replace.at[lfl].set(
+        jnp.where(conflict.reshape(-1), wfl, replace[lfl]))
+    # path compression: chains (c->b->a) terminate because edges strictly
+    # increase the order key (DAG); 4 halvings cover depth 16
+    for _ in range(4):
+        replace = replace[replace]
+    # apply replacement over the whole observation store
+    kf_mp = jnp.where(kf_mp >= 0, replace[jnp.clip(kf_mp, 0, M - 1)], kf_mp)
+    # losers die; their found/visible counters roll into the final winner
+    is_loser = replace != jnp.arange(M, dtype=jnp.int32)
+    wfin = replace[lfl]
+    mp_found = state.mp_found.at[jnp.where(conflict.reshape(-1), wfin, M - 1)].add(
+        jnp.where(conflict.reshape(-1), state.mp_found[lfl], 0))
+    mp_visible = state.mp_visible.at[jnp.where(conflict.reshape(-1), wfin, M - 1)].add(
+        jnp.where(conflict.reshape(-1), state.mp_visible[lfl], 0))
+    mp_valid = state.mp_valid & ~is_loser
+
+    n_merged = jnp.sum(is_loser.astype(jnp.int32))
+    # forward pointers so stale frame matches can be redirected
+    # (MapPoint::Replace keeps mpReplaced, src/MapPoint.cc:258-296)
+    mp_replaced = jnp.where(is_loser, replace, state.mp_replaced)
+    return state._replace(
+        kf_mp=kf_mp, mp_valid=mp_valid,
+        mp_found=mp_found, mp_visible=mp_visible,
+        mp_replaced=mp_replaced,
+        n_mp=state.n_mp - n_merged,
+    ), n_merged
+
+
+def fuse_neighbors(
+    state: ms.MapState, kf_slot, calib: cam_mod.CameraParams, cfg: SlamConfig,
+    n_neighbors: int = 5,
+):
+    """Two-direction fusion with the top covisible neighbors (host loop).
+
+    Reference SearchInNeighbors: current KF's points into neighbors, then
+    neighbors' points into the current KF (src/LocalMapping.cc:700-792).
+    """
+    M = cfg.max_mp
+    W = ms.covisibility(state)
+    w_row = jax.device_get(W[kf_slot])
+    order = (-w_row).argsort()[:n_neighbors]
+    neighbors = [int(k) for k in order if w_row[k] > 0]
+
+    total = 0
+    # direction 1: this KF's points into each neighbor
+    own = state.kf_mp[kf_slot].reshape(-1)
+    own_mask = jnp.zeros(M, bool).at[jnp.where(own >= 0, own, M - 1)].max(own >= 0)
+    for kn in neighbors:
+        state, n = fuse_into_kf(
+            state, own_mask, jnp.asarray(kn, jnp.int32), cfg, calib)
+        total += int(n)
+    # direction 2: neighbors' points into this KF
+    if neighbors:
+        neigh_mask = jnp.zeros(M, bool)
+        for kn in neighbors:
+            row = state.kf_mp[kn].reshape(-1)
+            neigh_mask = neigh_mask.at[
+                jnp.where(row >= 0, row, M - 1)].max(row >= 0)
+        state, n = fuse_into_kf(
+            state, neigh_mask, jnp.asarray(kf_slot, jnp.int32), cfg, calib)
+        total += int(n)
+    return state, total

@@ -192,24 +192,63 @@ def solve_ba_jit(prob, T_rc, K, bf):
 # ---------------------------------------------------------------------------
 
 
+def run_mapping_stage(
+    state: ms.MapState,
+    kf_slot,
+    frame_id,
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+    do_triangulate: bool = True,
+    do_fuse: bool = True,
+    do_ba: bool = True,
+    do_cull: bool = True,
+) -> ms.MapState:
+    """The full mapping pass after a keyframe insertion.
+
+    Mirrors one loop of LocalMapping::Run (src/LocalMapping.cc:55-157):
+    MapPointCulling -> CreateNewMapPoints -> SearchInNeighbors ->
+    LocalBundleAdjustment -> KeyFrameCulling, as a deterministic sequence.
+    """
+    from . import fusion, triangulation
+
+    if do_cull:
+        state = cull_map_points(state, jnp.asarray(frame_id, jnp.int32), cfg)
+    if do_triangulate:
+        state, _ = triangulation.triangulate_new_points(state, kf_slot, calib, cfg)
+    if do_fuse:
+        state, _ = fusion.fuse_neighbors(state, kf_slot, calib, cfg)
+        state = update_point_geometry(state, cfg)
+    if do_ba and int(state.n_kf) > 2:
+        state = run_local_ba(state, kf_slot, calib, cfg)
+    if do_cull:
+        state = cull_keyframes(state, jnp.asarray(kf_slot, jnp.int32), cfg)
+    return state
+
+
 @partial(jax.jit, static_argnums=(2,))
 def cull_map_points(
     state: ms.MapState, current_frame_id: jnp.ndarray, cfg: SlamConfig
 ) -> ms.MapState:
     """Remove low-quality recent points.
 
-    Reference rules (LocalMapping.cc:225-270): found/visible ratio < 0.25, or
-    >= 2 frames old with <= 3 (weighted) observations; points older than 3
-    frames graduate and are kept.
+    Reference rules (LocalMapping.cc:225-270), with age measured in
+    keyframes inserted since creation as the reference does (mnFirstKFid vs
+    current KF id): found/visible ratio < 0.25, or >= 2 KFs old with <= 3
+    weighted observations; points older than 3 KFs graduate and are kept.
     """
     M = state.mp_pos.shape[0]
     ratio = state.mp_found.astype(jnp.float32) / jnp.maximum(
         state.mp_visible.astype(jnp.float32), 1.0)
-    age = current_frame_id - state.mp_first_frame
+    # KFs inserted since the point's creation
+    age_kf = jnp.sum(
+        (state.kf_frame_id[None, :] > state.mp_first_frame[:, None])
+        & state.kf_valid[None, :],
+        axis=-1,
+    )
     wobs = ms.mp_weighted_obs(state)
-    bad = (ratio < 0.25) | ((age >= 2 * cfg.max_frames_kf) & (wobs <= 3))
+    bad = (ratio < 0.25) | ((age_kf >= 2) & (wobs <= 3))
     # grace period: only points still in their probation window get culled
-    probation = age <= 3 * cfg.max_frames_kf
+    probation = age_kf <= 3
     kill = state.mp_valid & bad & probation
     mp_valid = state.mp_valid & ~kill
     # drop observations of killed points

@@ -64,6 +64,9 @@ class MapState(NamedTuple):
     mp_first_frame: jnp.ndarray# [M] int32 frame id at creation
     mp_visible: jnp.ndarray    # [M] int32 (IncreaseVisible)
     mp_found: jnp.ndarray      # [M] int32 (IncreaseFound)
+    mp_replaced: jnp.ndarray   # [M] int32 forward pointer after fusion merge
+                               # (MapPoint::GetReplaced, src/MapPoint.cc:298),
+                               # -1 if never merged
     # --- counters ---
     n_kf: jnp.ndarray          # [] int32 number of valid keyframes
     n_mp: jnp.ndarray          # [] int32 number of valid map points
@@ -97,6 +100,7 @@ def make_empty(max_kf: int, n_cams: int, max_feat: int, max_mp: int) -> MapState
         mp_first_frame=jnp.full(M, -1, jnp.int32),
         mp_visible=jnp.zeros(M, jnp.int32),
         mp_found=jnp.zeros(M, jnp.int32),
+        mp_replaced=jnp.full(M, -1, jnp.int32),
         n_kf=jnp.asarray(0, jnp.int32),
         n_mp=jnp.asarray(0, jnp.int32),
         next_kf_id=jnp.asarray(0, jnp.int32),
@@ -106,6 +110,22 @@ def make_empty(max_kf: int, n_cams: int, max_feat: int, max_mp: int) -> MapState
 # ---------------------------------------------------------------------------
 # Incidence / covisibility
 # ---------------------------------------------------------------------------
+
+
+def resolve_mp_ids(state: "MapState", ids: jnp.ndarray) -> jnp.ndarray:
+    """Follow fusion forward-pointers and drop dead ids.
+
+    The reference equivalent is Tracking::CheckReplacedInLastFrame
+    (src/Tracking.cc:1020-1032): last-frame matches may point at map points
+    that were merged away by fusion or culled.
+    """
+    M = state.mp_pos.shape[0]
+    safe = jnp.clip(ids, 0, M - 1)
+    fwd = state.mp_replaced[safe]
+    ids2 = jnp.where((ids >= 0) & (fwd >= 0), fwd, ids)
+    safe2 = jnp.clip(ids2, 0, M - 1)
+    alive = state.mp_valid[safe2]
+    return jnp.where((ids2 >= 0) & alive, ids2, -1)
 
 
 def observation_matrix(state: MapState, cam0_only: bool = False) -> jnp.ndarray:
