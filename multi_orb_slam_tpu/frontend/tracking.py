@@ -447,6 +447,14 @@ class Tracker:
     def __init__(self, calib: cam_mod.CameraParams, cfg: SlamConfig):
         self.calib = calib
         self.cfg = cfg
+        self.kf_inserted_cb = None
+        self.only_tracking = False  # localization mode (System.h:75-78)
+        self.reset()
+
+    def reset(self):
+        """Tracking::Reset (src/Tracking.cc:2160-2206): clear the map and
+        all per-frame state."""
+        cfg = self.cfg
         self.map = ms.make_empty(cfg.max_kf, cfg.n_cams, cfg.max_feat, cfg.max_mp)
         self.state = TrackState.NOT_INITIALIZED
         self.Tcw = jnp.eye(4, dtype=jnp.float32)
@@ -458,11 +466,16 @@ class Tracker:
         self.last_kf_frame = -999
         self.last_kf_slot = 0
         self.ref_kf_tracked = 0
-        self.trajectory = []   # (frame_id, Tcw ndarray)
-        self.kf_inserted_cb = None
+        self.last_n_inliers = 0
+        # (frame_id, timestamp, ref_kf_slot, Tcr ndarray, lost) — relative to
+        # the reference KF so later BA/loop corrections propagate into the
+        # saved trajectory (reference mlRelativeFramePoses, Tracking.h:113-118)
+        self.trajectory = []
 
-    def process(self, grays: np.ndarray, depths: np.ndarray):
+    def process(self, grays: np.ndarray, depths: np.ndarray,
+                timestamp: float | None = None):
         cfg = self.cfg
+        self._ts = timestamp if timestamp is not None else self.frame_id / 30.0
         fr = frame_mod.build_frame(
             jnp.asarray(grays), jnp.asarray(depths), self.calib, cfg.orb
         )
@@ -515,13 +528,15 @@ class Tracker:
         self.state = TrackState.OK
         self.velocity = Tcw @ se3.inverse(self.prev_Tcw)
         self.Tcw = Tcw
+        self.last_n_inliers = n_inl
 
         # --- keyframe decision (simplified NeedNewKeyFrame) ---
         since_kf = self.frame_id - self.last_kf_frame
         need_kf = (
-            since_kf >= cfg.max_frames_kf
-            or (since_kf >= cfg.min_frames_kf
-                and n_inl < 0.9 * max(self.ref_kf_tracked, 1))
+            not self.only_tracking
+            and (since_kf >= cfg.max_frames_kf
+                 or (since_kf >= cfg.min_frames_kf
+                     and n_inl < 0.9 * max(self.ref_kf_tracked, 1)))
         )
         if need_kf and int(self.map.n_kf) < cfg.max_kf - 1:
             self.map, kf_mp = insert_keyframe_jit(
@@ -545,7 +560,22 @@ class Tracker:
         return self.state
 
     def _record(self):
-        self.trajectory.append((self.frame_id, np.asarray(self.Tcw)))
+        ref = self.last_kf_slot
+        Tcr = np.asarray(self.Tcw @ se3.inverse(self.map.kf_Tcw[ref]))
+        self.trajectory.append((
+            self.frame_id, self._ts, ref, Tcr,
+            self.state != TrackState.OK,
+        ))
+
+    def absolute_trajectory(self):
+        """(frame_id, timestamp, Tcw) per frame, with keyframe-pose
+        corrections applied through the stored relative poses (reference
+        SaveTrajectoryTUM, src/System.cc:353-411)."""
+        kf_Tcw = np.asarray(self.map.kf_Tcw)
+        out = []
+        for fid, ts, ref, Tcr, lost in self.trajectory:
+            out.append((fid, ts, Tcr @ kf_Tcw[ref], lost))
+        return out
 
 
 @partial(jax.jit, static_argnums=(5,))

@@ -1,0 +1,317 @@
+"""Loop closing: detection, Sim3 computation, correction, pose graph, GBA.
+
+Replaces the `LoopClosing` thread (src/LoopClosing.cc) as a deterministic
+stage invoked after each keyframe's mapping pass:
+
+1. DetectLoop (LoopClosing.cc:123-293): BoW gate (>= 10 KFs since last
+   loop), minScore from camera-0 covisibility neighbors, database candidates
+   with covisibility-group accumulation, temporal consistency over 3
+   consecutive keyframes.
+2. ComputeSim3 (LoopClosing.cc:320-565): brute-force camera-0 descriptor
+   matching (>= 15), batched Sim3 RANSAC with camera-aware reprojection
+   checks (>= 20 inliers), guided re-match, total-match gate (>= 40).
+3. CorrectLoop (LoopClosing.cc:586-818): Sim3 correction propagated to the
+   covisibility neighborhood, map-point correction, loop-point fusion,
+   essential-graph optimization, then full global BA.
+
+The vocabulary is trained online from early keyframe descriptors (the
+reference ships a pre-trained 1M-word file, stripped from the mirror).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import camera as cam_mod, se3, sim3
+from ..mapping import fusion, map_state as ms
+from ..ops import hamming
+from ..optim import global_ba, pose_graph
+from ..placerec import database as db_mod, vocabulary as vocab_mod
+from . import sim3_solver
+
+MIN_MATCHES_BOW = 15      # LoopClosing.cc:372 (SearchByBoW gate)
+MIN_INLIERS_SIM3 = 20     # LoopClosing.cc:461
+MIN_TOTAL_MATCHES = 40    # LoopClosing.cc:522
+CONSISTENCY_TH = 3        # LoopClosing.cc:53 (mnCovisibilityConsistencyTh)
+DETECT_GAP = 10           # LoopClosing.cc:137 (mnId < mLastLoopKFid+10)
+VOCAB_MIN_DESCS = 6000
+
+
+class LoopCloser:
+    def __init__(self, calib: cam_mod.CameraParams, cfg: SlamConfig,
+                 run_gba: bool = True, vocab_k: int = 10, vocab_depth: int = 3,
+                 vocab_min_descs: int = VOCAB_MIN_DESCS):
+        self.calib = calib
+        self.cfg = cfg
+        self.run_gba = run_gba
+        self.vocab_k = vocab_k
+        self.vocab_depth = vocab_depth
+        self.vocab_min_descs = vocab_min_descs
+        self.voc: vocab_mod.Vocabulary | None = None
+        self.db: db_mod.KeyFrameDB | None = None
+        self._train_descs = []
+        self.last_loop_kf = -DETECT_GAP
+        self.consistent_groups = []  # [(set_of_kfs, count)]
+        self.loop_pairs = []         # accumulated loop edges
+        self.n_loops_closed = 0
+        self._pending_bow = []
+
+    # ------------------------------------------------------------------
+
+    def _ensure_vocab(self, state: ms.MapState, kf_slot: int) -> bool:
+        if self.voc is not None:
+            return True
+        desc = np.asarray(state.kf_desc[kf_slot][0])
+        valid = np.asarray(state.kf_feat_valid[kf_slot][0])
+        self._train_descs.append(desc[valid])
+        total = sum(len(d) for d in self._train_descs)
+        if total < self.vocab_min_descs:
+            self._pending_bow.append(kf_slot)
+            return False
+        train = np.concatenate(self._train_descs)
+        self.voc = vocab_mod.build_vocabulary(
+            train, k=self.vocab_k, depth=self.vocab_depth)
+        self.db = db_mod.make_empty_db(self.cfg.max_kf, self.voc.n_words)
+        return True
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, state: ms.MapState, kf_slot: int) -> ms.MapState:
+        if not self._ensure_vocab(state, kf_slot):
+            return state
+        # index any keyframes that arrived before the vocabulary was ready
+        for k in self._pending_bow:
+            if bool(state.kf_valid[k]):
+                self.db = db_mod.add_keyframe(self.db, self.voc, state, k)
+        self._pending_bow = []
+
+        fid = int(state.kf_frame_id[kf_slot])
+        candidates = []
+        if fid >= self.last_loop_kf + DETECT_GAP and int(state.n_kf) > 5:
+            candidates = self._detect(state, kf_slot)
+        self.db = db_mod.add_keyframe(self.db, self.voc, state, kf_slot)
+        if not candidates:
+            return state
+        result = self._compute_sim3(state, kf_slot, candidates)
+        if result is None:
+            return state
+        loop_kf, g_ab, matches = result
+        state = self._correct_loop(state, kf_slot, loop_kf, g_ab)
+        self.last_loop_kf = fid
+        self.n_loops_closed += 1
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _detect(self, state: ms.MapState, kf_slot: int) -> list:
+        """DetectLoop with temporal consistency groups."""
+        # minScore = lowest BoW similarity to a covisibility neighbor
+        W = np.asarray(ms.covisibility(state, cam0_only=True))
+        neighbors = np.nonzero(W[kf_slot] >= 15.0)[0]
+        q_desc = state.kf_desc[kf_slot][0]
+        q_valid = state.kf_feat_valid[kf_slot][0]
+        q = vocab_mod.bow_vector(self.voc, q_desc, q_valid)
+        min_score = 1.0
+        for nkf in neighbors:
+            if bool(self.db.has_bow[nkf]):
+                sc = float(vocab_mod.score_l1(self.db.bow_cam0[nkf], q))
+                min_score = min(min_score, sc)
+        if not len(neighbors):
+            min_score = 0.3
+        cands = db_mod.detect_loop_candidates(
+            self.db, state, kf_slot, max(min_score, 0.0))
+        if not cands:
+            self.consistent_groups = []
+            return []
+        # temporal consistency: a candidate's covis group must reappear in
+        # CONSISTENCY_TH consecutive keyframes (LoopClosing.cc:210-280)
+        enough = []
+        new_groups = []
+        for c in cands:
+            group = set(np.nonzero(W[c] > 0)[0].tolist()) | {c}
+            count = 0
+            for prev_group, prev_count in self.consistent_groups:
+                if group & prev_group:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count >= CONSISTENCY_TH - 1:
+                enough.append(c)
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+
+    def _compute_sim3(self, state: ms.MapState, kf_a: int, candidates: list):
+        """Match + batched Sim3 RANSAC against each candidate."""
+        C, F = state.kf_desc.shape[1], state.kf_desc.shape[2]
+        M = self.cfg.max_mp
+        for kf_b in candidates:
+            # camera-0 brute-force matching between map-point features
+            da = state.kf_desc[kf_a][0]
+            db_ = state.kf_desc[kf_b][0]
+            has_a = (state.kf_mp[kf_a][0] >= 0) & state.kf_feat_valid[kf_a][0]
+            has_b = (state.kf_mp[kf_b][0] >= 0) & state.kf_feat_valid[kf_b][0]
+            d = hamming.pairwise_hamming(da, db_)
+            cand = has_a[:, None] & has_b[None, :]
+            bi, bd, b2 = hamming.masked_argmin2(d, cand)
+            ok = (bd <= hamming.TH_LOW) & (
+                bd.astype(jnp.float32) <= 0.75 * b2.astype(jnp.float32))
+            n_matches = int(jnp.sum(ok))
+            if n_matches < MIN_MATCHES_BOW:
+                continue
+            # matched landmark pairs in each rig frame
+            mp_a = np.asarray(state.kf_mp[kf_a][0])
+            mp_b = np.asarray(state.kf_mp[kf_b][0])
+            bi_np = np.asarray(bi)
+            ok_np = np.asarray(ok)
+            ia = np.nonzero(ok_np)[0]
+            pa_ids = mp_a[ia]
+            pb_ids = mp_b[bi_np[ia]]
+            pw = np.asarray(state.mp_pos)
+            Ta = np.asarray(state.kf_Tcw[kf_a])
+            Tb = np.asarray(state.kf_Tcw[kf_b])
+            pts_a = pw[pa_ids] @ Ta[:3, :3].T + Ta[:3, 3]
+            pts_b = pw[pb_ids] @ Tb[:3, :3].T + Tb[:3, 3]
+            n = len(ia)
+            cap = 256
+            pad = cap - n if n < cap else 0
+            if n > cap:
+                pts_a, pts_b = pts_a[:cap], pts_b[:cap]
+                n = cap
+                pad = 0
+            pts_a = np.concatenate([pts_a, np.zeros((pad, 3))]).astype(np.float32)
+            pts_b = np.concatenate([pts_b, np.zeros((pad, 3))]).astype(np.float32)
+            valid = np.zeros(cap, bool)
+            valid[:n] = True
+            g_ab, inl, n_inl = sim3_solver.solve_sim3_ransac(
+                jax.random.PRNGKey(kf_a * 1000 + kf_b),
+                jnp.asarray(pts_a), jnp.asarray(pts_b),
+                jnp.zeros(cap, jnp.int32), jnp.zeros(cap, jnp.int32),
+                jnp.asarray(valid),
+                self.calib.T_rc, self.calib.K,
+            )
+            if int(n_inl) < MIN_INLIERS_SIM3:
+                continue
+            # guided total-match count: project all loop-KF-neighborhood
+            # points through g_ab into kf_a and count agreeing landmarks
+            total = int(n_inl) + self._guided_matches(state, kf_a, kf_b, g_ab)
+            if total >= MIN_TOTAL_MATCHES:
+                return kf_b, g_ab, total
+        return None
+
+    def _guided_matches(self, state, kf_a, kf_b, g_ab) -> int:
+        """SearchByProjection_cam1-style count of additional agreements."""
+        M = self.cfg.max_mp
+        mp_b = state.kf_mp[kf_b].reshape(-1)
+        mask_b = jnp.zeros(M, bool).at[
+            jnp.where(mp_b >= 0, mp_b, M - 1)].max(mp_b >= 0)
+        mask_b = mask_b & state.mp_valid
+        pw = state.mp_pos
+        Tb = state.kf_Tcw[kf_b]
+        pts_b_rig = se3.transform_points(Tb, pw)
+        pts_a_rig = sim3.apply(g_ab, pts_b_rig)
+        uv = cam_mod.project(self.calib.K[0], pts_a_rig)
+        inb = cam_mod.in_image(uv, self.cfg.width, self.cfg.height)
+        okz = pts_a_rig[:, 2] > 0.1
+        proj_ok = mask_b & inb & okz
+        # count projected points landing near a feature of kf_a (camera 0)
+        fx = state.kf_xy_und[kf_a][0]
+        fval = state.kf_feat_valid[kf_a][0]
+        du = jnp.abs(uv[:, 0, None] - fx[None, :, 0])
+        dv = jnp.abs(uv[:, 1, None] - fx[None, :, 1])
+        near = (du < 8.0) & (dv < 8.0) & fval[None, :] & proj_ok[:, None]
+        d = hamming.pairwise_hamming(state.mp_desc, state.kf_desc[kf_a][0])
+        match = jnp.any(near & (d <= hamming.TH_LOW), axis=1)
+        return int(jnp.sum(match))
+
+    # ------------------------------------------------------------------
+
+    def _correct_loop(self, state: ms.MapState, kf_a: int, kf_b: int,
+                      g_ab: jnp.ndarray) -> ms.MapState:
+        """Sim3 propagation + point correction + fusion + pose graph + GBA."""
+        K = self.cfg.max_kf
+        M = self.cfg.max_mp
+        # corrected Sim3 of current KF: S_aw_corr = g_ab o S_bw ... the loop
+        # says: landmarks seen in b map into a via g_ab, i.e. a's TRUE pose
+        # satisfies S_aw = g_ab * S_bw ... current a pose has drift.
+        g_old = jax.vmap(sim3.from_se3)(state.kf_Tcw)   # [K, 8] world->kf
+        S_aw_corr = sim3.compose(g_ab, g_old[kf_b])
+
+        # propagate to covisibility neighborhood of kf_a (CorrectedSim3)
+        W = np.asarray(ms.covisibility(state, cam0_only=True))
+        neigh = np.nonzero(W[kf_a] >= 15.0)[0].tolist()
+        corrected_slots = [kf_a] + [n for n in neigh if n != kf_a]
+        corr_mask = np.zeros(K, bool)
+        g_corr = np.asarray(g_old).copy()
+        S_aw_old_inv = sim3.inverse(g_old[kf_a])
+        for k in corrected_slots:
+            # S_kw_corr = S_k,a * S_aw_corr  with  S_k,a = S_kw * S_aw^-1
+            S_ka = sim3.compose(g_old[k], S_aw_old_inv)
+            g_corr[k] = np.asarray(sim3.compose(S_ka, S_aw_corr))
+            corr_mask[k] = True
+
+        # correct the map points of the corrected keyframes
+        owned = np.zeros(M, bool)
+        kf_mp_np = np.asarray(state.kf_mp)
+        for k in corrected_slots:
+            ids = kf_mp_np[k][kf_mp_np[k] >= 0]
+            owned[ids] = True
+        owned = jnp.asarray(owned) & state.mp_valid
+        # x' = S_corr^-1 ( S_old (x) ) via the owning kf_a correction
+        g_corr_j = jnp.asarray(g_corr)
+        S_old_a = g_old[kf_a]
+        S_new_a = jnp.asarray(g_corr[kf_a])
+        x_in_a = sim3.apply(S_old_a, state.mp_pos)
+        x_corr = sim3.apply(sim3.inverse(S_new_a), x_in_a)
+        mp_pos = jnp.where(owned[:, None], x_corr, state.mp_pos)
+
+        # write corrected SE3 poses
+        kf_Tcw = state.kf_Tcw
+        for k in corrected_slots:
+            kf_Tcw = kf_Tcw.at[k].set(sim3.to_se3(jnp.asarray(g_corr[k])))
+        state = state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos)
+
+        # fuse loop landmarks into the corrected neighborhood
+        mp_b = state.kf_mp[kf_b].reshape(-1)
+        loop_mask = jnp.zeros(M, bool).at[
+            jnp.where(mp_b >= 0, mp_b, M - 1)].max(mp_b >= 0)
+        for k in corrected_slots[:5]:
+            state, _ = fusion.fuse_into_kf(
+                state, loop_mask, jnp.asarray(k, jnp.int32), self.cfg,
+                self.calib)
+
+        # essential-graph optimization
+        self.loop_pairs.append((kf_a, kf_b))
+        ei, ej, meas, ok = pose_graph.build_essential_edges(
+            W, np.asarray(state.kf_valid), np.asarray(state.kf_frame_id),
+            g_old, (g_corr, corr_mask), self.loop_pairs,
+        )
+        kf_free = state.kf_valid & (jnp.arange(K) != kf_b)
+        g_in = jnp.asarray(g_corr)
+        g_opt = pose_graph.optimize_essential_graph(
+            g_in, kf_free, ei, ej, meas, ok)
+
+        # apply: poses from Sim3 ([R | t/s]); points corrected through their
+        # first (creating) keyframe's old->new transform
+        new_Tcw = jax.vmap(sim3.to_se3)(g_opt)
+        new_Tcw = jnp.where(state.kf_valid[:, None, None], new_Tcw,
+                            state.kf_Tcw)
+        ref_kf = jnp.clip(state.mp_first_kf, 0, K - 1)
+        g_ref_old = g_in[ref_kf]
+        g_ref_new = g_opt[ref_kf]
+        x_mid = jax.vmap(sim3.apply)(g_ref_old, state.mp_pos)
+        x_new = jax.vmap(lambda g, x: sim3.apply(sim3.inverse(g), x))(
+            g_ref_new, x_mid)
+        mp_pos = jnp.where(
+            (state.mp_valid & (state.mp_first_kf >= 0))[:, None],
+            x_new, state.mp_pos)
+        state = state._replace(kf_Tcw=new_Tcw, mp_pos=mp_pos)
+
+        # full-map BA (the reference spawns a GBA thread; we run inline)
+        if self.run_gba:
+            state = global_ba.run_global_ba(state, self.calib, self.cfg,
+                                            n_outer=9)
+        return state

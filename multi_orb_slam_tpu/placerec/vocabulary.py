@@ -1,0 +1,160 @@
+"""Bag-of-binary-words vocabulary as dense arrays.
+
+Replaces DBoW2's `TemplatedVocabulary<FORB>` (Thirdparty/DBoW2/DBoW2/
+TemplatedVocabulary.h, ~1666 LoC): a k-ary tree of 256-bit centroids with
+TF-IDF weights.  TPU-native design:
+
+- the tree is a [n_nodes, k] child table + [n_nodes, 8] uint32 centroids;
+  `transform` descends all descriptors in parallel (L levels of Hamming
+  argmin over k children — a handful of batched XOR/popcount passes)
+- a frame/keyframe BoW vector is a dense [n_words] float (tf-idf,
+  L1-normalized); similarity scoring of one query against every keyframe is
+  a single matvec on the MXU, replacing DBoW2's inverted-file walk
+- vocabularies are trained with k-medians over binary descriptors
+  (bit-majority centroids), the same scheme DBoW2's `create` uses
+
+The reference ships a pre-trained 1M-word vocabulary (stripped from this
+mirror, .MISSING_LARGE_BLOBS); instead we train small task-specific
+vocabularies (build_vocabulary) which serve the same discriminative role
+for loop closure / relocalization within a session.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import hamming
+
+
+class Vocabulary(NamedTuple):
+    children: jnp.ndarray   # [n_nodes, k] int32 child node ids (-1 none)
+    node_desc: jnp.ndarray  # [n_nodes, 8] uint32 centroids
+    word_id: jnp.ndarray    # [n_nodes] int32 word index for leaves (-1 inner)
+    word_weight: jnp.ndarray  # [n_words] float32 idf weights
+    k: int
+    depth: int
+    n_words: int
+
+
+def _bit_majority(descs: np.ndarray) -> np.ndarray:
+    """Majority vote per bit over [N, 8] uint32 -> [8] uint32 centroid
+    (FORB::meanValue, Thirdparty/DBoW2/DBoW2/FORB.cpp)."""
+    bits = np.unpackbits(descs.view(np.uint8), axis=1)
+    mean = bits.mean(axis=0) >= 0.5
+    return np.packbits(mean.astype(np.uint8)).view(np.uint32)
+
+
+def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a[:, None, :] ^ b[None, :, :]).view(np.uint8)
+    return np.unpackbits(x, axis=-1).sum(-1)
+
+
+def _kmedians(descs: np.ndarray, k: int, iters: int, rng) -> tuple:
+    """Binary k-medians: returns (centroids [k', 8], assign [N])."""
+    n = descs.shape[0]
+    k = min(k, n)
+    sel = rng.choice(n, k, replace=False)
+    cent = descs[sel].copy()
+    assign = np.zeros(n, np.int64)
+    for _ in range(iters):
+        d = _hamming_np(descs, cent)
+        assign = d.argmin(1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = _bit_majority(descs[m])
+    return cent, assign
+
+
+def build_vocabulary(
+    descriptors: np.ndarray, k: int = 10, depth: int = 3,
+    iters: int = 5, seed: int = 0, weight_descs: np.ndarray | None = None,
+) -> Vocabulary:
+    """Train a k^depth-word tree from [N, 8] uint32 descriptors."""
+    rng = np.random.RandomState(seed)
+    descriptors = np.asarray(descriptors, np.uint32)
+    max_nodes = sum(k ** (l + 1) for l in range(depth)) + 1
+    children = np.full((max_nodes, k), -1, np.int32)
+    node_desc = np.zeros((max_nodes, 8), np.uint32)
+    word_id = np.full(max_nodes, -1, np.int32)
+    next_node = 1
+    next_word = 0
+
+    # BFS expansion
+    queue = [(0, descriptors, 0)]  # (node, descs, level)
+    while queue:
+        node, descs, level = queue.pop(0)
+        if level == depth or len(descs) <= 1:
+            word_id[node] = next_word
+            next_word += 1
+            continue
+        cent, assign = _kmedians(descs, k, iters, rng)
+        for j in range(cent.shape[0]):
+            m = assign == j
+            if not m.any():
+                continue
+            cid = next_node
+            next_node += 1
+            children[node, j] = cid
+            node_desc[cid] = cent[j]
+            queue.append((cid, descs[m], level + 1))
+    n_words = next_word
+
+    voc = Vocabulary(
+        children=jnp.asarray(children[:next_node]),
+        node_desc=jnp.asarray(node_desc[:next_node]),
+        word_id=jnp.asarray(word_id[:next_node]),
+        word_weight=jnp.ones(n_words, jnp.float32),
+        k=k, depth=depth, n_words=n_words,
+    )
+    # idf weights from the training corpus (TemplatedVocabulary::setWeights)
+    train = weight_descs if weight_descs is not None else descriptors
+    words = np.asarray(transform_words(voc, jnp.asarray(train)))
+    n_docs_proxy = max(len(train), 1)
+    counts = np.bincount(words, minlength=n_words).astype(np.float32)
+    idf = np.log(n_docs_proxy / np.maximum(counts, 1.0) + 1.0)
+    return voc._replace(word_weight=jnp.asarray(idf))
+
+
+def transform_words(voc: Vocabulary, descs: jnp.ndarray) -> jnp.ndarray:
+    """Descend the tree: [N, 8] descriptors -> [N] word ids."""
+    n = descs.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    for _ in range(voc.depth):
+        ch = voc.children[node]                    # [N, k]
+        ch_safe = jnp.clip(ch, 0, voc.children.shape[0] - 1)
+        cd = voc.node_desc[ch_safe]                # [N, k, 8]
+        d = jnp.sum(hamming.popcount32(
+            jnp.bitwise_xor(cd, descs[:, None, :])), axis=-1)
+        d = jnp.where(ch >= 0, d, 1 << 20)
+        best = jnp.argmin(d, axis=-1)
+        nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
+        node = jnp.where(nxt >= 0, nxt, node)  # stay if leaf reached early
+    w = voc.word_id[node]
+    return jnp.where(w >= 0, w, 0)
+
+
+def bow_vector(voc: Vocabulary, descs: jnp.ndarray,
+               valid: jnp.ndarray) -> jnp.ndarray:
+    """[F, 8] descriptors (+mask) -> L1-normalized tf-idf vector [n_words].
+
+    Replaces `transform(features, BowVector, ...)` + the BowVector map
+    (reference include/ORBVocabulary.h:26-34 usage)."""
+    words = transform_words(voc, descs)
+    tgt = jnp.where(valid, words, voc.n_words - 1)
+    v = jnp.zeros(voc.n_words, jnp.float32).at[tgt].add(
+        jnp.where(valid, 1.0, 0.0))
+    v = v * voc.word_weight
+    n = jnp.sum(jnp.abs(v))
+    return v / jnp.maximum(n, 1e-9)
+
+
+def score_l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 score in [0, 1] (ScoringObject.cpp L1Scoring):
+    s = 1 - 0.5 * |va - vb|_1 for L1-normalized va, vb.
+    Broadcasts: a [..., W], b [..., W]."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)

@@ -1,0 +1,201 @@
+"""System facade — the public API.
+
+Re-designs the reference `System` class (src/System.cc, include/System.h):
+construction from settings + calibration files, `TrackRGBD`, localization
+mode switching, reset, shutdown, trajectory savers.  The reference's three
+free-running threads become a deterministic staged pipeline: the tracking
+step runs inline; the mapping stage runs at each keyframe insertion; loop
+detection runs after mapping (loop/ module).
+
+Additions over the reference: map checkpoint save/load (the reference's
+SaveMap/LoadMap are TODO stubs, include/System.h:119-121).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SlamConfig
+from .frontend import tracking
+from .geometry import camera as cam_mod
+from .io import config_io, tum
+from .mapping import local_mapping, map_state as ms
+from .ops import orb
+
+
+class Sensor:
+    RGBD = "rgbd"
+    DUAL_RGBD = "dual_rgbd"
+    STEREO = "stereo"
+
+
+class System:
+    def __init__(
+        self,
+        settings_path: Optional[str] = None,
+        calibration_path: Optional[str] = None,
+        sensor: str = Sensor.DUAL_RGBD,
+        calib: Optional[cam_mod.CameraParams] = None,
+        cfg: Optional[SlamConfig] = None,
+        enable_mapping: bool = True,
+        enable_loop_closing: bool = True,
+    ):
+        n_cams = 2 if sensor == Sensor.DUAL_RGBD else 1
+        if calib is None or cfg is None:
+            assert settings_path is not None
+            st = config_io.load_settings(settings_path, n_cams=n_cams)
+            T12 = (config_io.load_calibration(calibration_path)
+                   if calibration_path else None)
+            calib = config_io.camera_params_from(st, T12, n_cams)
+            # ThDepth scaled to meters as mbf*ThDepth/fx (Tracking.cc:162)
+            th_depth_m = st.bf * st.th_depth / float(st.K[0][0])
+            cfg = SlamConfig(
+                n_cams=n_cams,
+                width=st.width, height=st.height,
+                scale_factor=st.scale_factor,
+                n_levels=st.n_levels,
+                th_depth=th_depth_m,
+                max_frames_kf=int(st.fps),
+                orb=config_io.orb_config_from(st),
+            )
+            self.depth_map_factor = st.depth_map_factor
+        else:
+            self.depth_map_factor = 1.0
+        self.calib = calib
+        self.cfg = cfg
+        self.sensor = sensor
+        self.enable_mapping = enable_mapping
+        self.enable_loop_closing = enable_loop_closing
+        self.tracker = tracking.Tracker(calib, cfg)
+        self.loop_closer = None
+        if enable_loop_closing:
+            from .loop import loop_closing
+            self.loop_closer = loop_closing.LoopCloser(calib, cfg)
+        if enable_mapping:
+            self.tracker.kf_inserted_cb = self._on_keyframe
+        self._reset_requested = False
+
+    # ------------------------------------------------------------------
+    # Pipeline hooks
+    # ------------------------------------------------------------------
+
+    def _on_keyframe(self, kf_slot: int):
+        m = local_mapping.run_mapping_stage(
+            self.tracker.map, kf_slot, self.tracker.frame_id,
+            self.calib, self.cfg,
+        )
+        if self.loop_closer is not None:
+            m = self.loop_closer.process_keyframe(m, kf_slot)
+        return m
+
+    # ------------------------------------------------------------------
+    # Public API (reference include/System.h:63-127)
+    # ------------------------------------------------------------------
+
+    def track_rgbd(self, im1, depth1, im2=None, depth2=None,
+                   timestamp: Optional[float] = None):
+        """TrackRGBD (reference src/System.cc:183-243).  Images are
+        grayscale float arrays; depth in meters (DepthMapFactor already
+        applied by the caller or `track_rgbd_raw`)."""
+        if self._reset_requested:
+            self.tracker.reset()
+            self._reset_requested = False
+        if self.sensor == Sensor.DUAL_RGBD:
+            assert im2 is not None and depth2 is not None
+            grays = np.stack([im1, im2]).astype(np.float32)
+            depths = np.stack([depth1, depth2]).astype(np.float32)
+        else:
+            grays = np.asarray(im1, np.float32)[None]
+            depths = np.asarray(depth1, np.float32)[None]
+        self.tracker.process(grays, depths, timestamp)
+        return np.asarray(self.tracker.Tcw)
+
+    def activate_localization_mode(self):
+        """Track against the frozen map; no new keyframes
+        (reference System::ActivateLocalizationMode, System.cc:298-303)."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        self._reset_requested = True
+
+    def shutdown(self):
+        """No free-running threads to join in this design; kept for API
+        parity (reference System::Shutdown, System.cc:328-351)."""
+
+    def get_tracking_state(self) -> int:
+        return self.tracker.state
+
+    def get_tracked_map_points(self) -> int:
+        return self.tracker.last_n_inliers
+
+    @property
+    def map(self) -> ms.MapState:
+        return self.tracker.map
+
+    # ------------------------------------------------------------------
+    # Trajectory export (reference src/System.cc:353-503)
+    # ------------------------------------------------------------------
+
+    def save_trajectory_tum(self, path: str):
+        frames = [
+            (ts, Tcw) for _, ts, Tcw, lost in self.tracker.absolute_trajectory()
+            if not lost
+        ]
+        tum.write_trajectory_tum(path, frames)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        state = self.map
+        rows = []
+        for k in range(state.kf_valid.shape[0]):
+            if bool(state.kf_valid[k]):
+                fid = int(state.kf_frame_id[k])
+                ts = self._ts_of_frame(fid)
+                rows.append((fid, ts, np.asarray(state.kf_Tcw[k])))
+        rows.sort()
+        tum.write_trajectory_tum(path, [(ts, T) for _, ts, T in rows])
+
+    def save_trajectory_kitti(self, path: str):
+        poses = [Tcw for _, _, Tcw, lost in self.tracker.absolute_trajectory()
+                 if not lost]
+        tum.write_trajectory_kitti(path, poses)
+
+    def _ts_of_frame(self, fid: int) -> float:
+        for f, ts, _, _, _ in self.tracker.trajectory:
+            if f == fid:
+                return ts
+        return fid / 30.0
+
+    # ------------------------------------------------------------------
+    # Map checkpointing (beyond the reference)
+    # ------------------------------------------------------------------
+
+    def save_map(self, path: str):
+        state = jax.device_get(self.tracker.map)
+        payload = {
+            "map": {f: np.asarray(getattr(state, f)) for f in state._fields},
+            "trajectory": self.tracker.trajectory,
+            "frame_id": self.tracker.frame_id,
+            "last_kf_slot": self.tracker.last_kf_slot,
+            "last_kf_frame": self.tracker.last_kf_frame,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_map(self, path: str):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        arrays = {k: jnp.asarray(v) for k, v in payload["map"].items()}
+        self.tracker.map = ms.MapState(**arrays)
+        self.tracker.trajectory = payload["trajectory"]
+        self.tracker.frame_id = payload["frame_id"]
+        self.tracker.last_kf_slot = payload["last_kf_slot"]
+        self.tracker.last_kf_frame = payload["last_kf_frame"]
+        self.tracker.state = tracking.TrackState.LOST  # must relocalize

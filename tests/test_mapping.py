@@ -36,7 +36,7 @@ class TestLocalMappingIntegration:
             assert s != tracking.TrackState.LOST
 
         assert int(tracker.map.n_kf) >= 3
-        est = np.stack([np.linalg.inv(T)[:3, 3] for _, T in tracker.trajectory])
+        est = np.stack([np.linalg.inv(T)[:3, 3] for _, _, T, _ in tracker.absolute_trajectory()])
         gt = np.stack([np.linalg.inv(T)[:3, 3] for T in seq.poses_gt])
         rmse = float(align.ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
         assert rmse < 0.05, f"ATE RMSE with local BA {rmse:.4f} m"

@@ -91,7 +91,7 @@ class TestOdometry:
         n_ok = sum(1 for s in states if s == tracking.TrackState.OK)
         assert n_ok >= 14, f"tracking lost: {states}"
 
-        est = np.stack([np.linalg.inv(T)[:3, 3] for _, T in tracker.trajectory])
+        est = np.stack([np.linalg.inv(T)[:3, 3] for _, _, T, _ in tracker.absolute_trajectory()])
         gt = np.stack([np.linalg.inv(T)[:3, 3] for T in seq.poses_gt])
         rmse = float(align.ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
         assert rmse < 0.05, f"ATE RMSE {rmse:.4f} m"

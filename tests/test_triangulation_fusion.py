@@ -49,7 +49,7 @@ class TestTriangulation:
         tracker, seq = run_sequence_with_mapping(
             do_fuse=False, do_ba=False, do_cull=False
         )
-        est = np.stack([np.linalg.inv(T)[:3, 3] for _, T in tracker.trajectory])
+        est = np.stack([np.linalg.inv(T)[:3, 3] for _, _, T, _ in tracker.absolute_trajectory()])
         gt = np.stack([np.linalg.inv(T)[:3, 3] for T in seq.poses_gt])
         rmse = float(align.ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
         assert rmse < 0.08, f"ATE with triangulation {rmse:.4f}"
@@ -70,7 +70,7 @@ class TestFusion:
 
     def test_full_mapping_stage_ate(self):
         tracker, seq = run_sequence_with_mapping()
-        est = np.stack([np.linalg.inv(T)[:3, 3] for _, T in tracker.trajectory])
+        est = np.stack([np.linalg.inv(T)[:3, 3] for _, _, T, _ in tracker.absolute_trajectory()])
         gt = np.stack([np.linalg.inv(T)[:3, 3] for T in seq.poses_gt])
         rmse = float(align.ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
         assert rmse < 0.05, f"ATE with full mapping {rmse:.4f}"
