@@ -316,13 +316,25 @@ def track_motion_model(
     matched = match_src >= 0
     n_matches = jnp.sum(matched.astype(jnp.int32))
     obs = _pose_obs_from_matches(cur, match_pw, matched, cfg)
+    # The velocity prediction centers the SEARCH windows only; the pose
+    # optimization starts from the previous pose.  Initializing at the
+    # prediction couples the optimizer's residual init-dependence into the
+    # constant-velocity extrapolation, a positive-feedback loop that
+    # geometrically amplifies pose noise (observed ~2.3x/frame on static
+    # scenes).  With a prev-pose init the loop gain drops to ~0 while the
+    # matcher still benefits from the motion prior.
     Tcw, inlier, n_inl = pose_opt.optimize_pose(
-        Tcw_pred, obs, calib.T_rc, calib.K, calib.bf
+        prev_Tcw, obs, calib.T_rc, calib.K, calib.bf
     )
     # frame map-point assignment for inlier matches that were map points
     inl_grid = inlier.reshape(matched.shape)
     frame_mp = jnp.where(matched & inl_grid, match_mp, -1)
-    return Tcw, frame_mp, n_matches, n_inl
+    # inliers that correspond to MAP points (not temporal VO points): the
+    # reference requires >= 10 of these or falls back to reference-KF
+    # tracking (Tracking.cc:1310-1326) — the defense against aliased
+    # matches confirming a wrong motion prediction
+    n_map_inl = jnp.sum((frame_mp >= 0).astype(jnp.int32))
+    return Tcw, frame_mp, n_matches, n_inl, n_map_inl
 
 
 @partial(jax.jit, static_argnums=(5,))
@@ -427,7 +439,13 @@ def track_local_map(
     mp_found = state.mp_found.at[jnp.where(fm >= 0, fm, M - 1)].add(
         (fm >= 0).astype(jnp.int32))
     state = state._replace(mp_visible=mp_visible, mp_found=mp_found)
-    return state, Tcw_out, final_mp, n_inl
+
+    # close-point statistics for NeedNewKeyFrame (Tracking.cc:1464-1477):
+    # tracked close points vs untracked close depth candidates
+    close = (cur.depth > 0) & (cur.depth < cfg.th_depth) & cur.valid
+    n_close_tracked = jnp.sum((close & (final_mp >= 0)).astype(jnp.int32))
+    n_close_untracked = jnp.sum((close & (final_mp < 0)).astype(jnp.int32))
+    return state, Tcw_out, final_mp, n_inl, n_close_tracked, n_close_untracked
 
 
 # ---------------------------------------------------------------------------
@@ -499,11 +517,11 @@ class Tracker:
             return self.state
 
         # --- motion-model tracking (or ref-KF fallback) ---
-        Tcw, frame_mp, n_match, n_inl = track_motion_model(
+        Tcw, frame_mp, n_match, n_inl, n_map_inl = track_motion_model(
             self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
             self.velocity, fr, self.calib, cfg,
         )
-        if int(n_inl) < cfg.min_matches_motion:
+        if int(n_inl) < cfg.min_matches_motion or int(n_map_inl) < 10:
             Tcw, frame_mp, n_match, n_inl = track_reference_kf(
                 self.map, jnp.asarray(self.last_kf_slot), self.prev_Tcw,
                 fr, self.calib, cfg,
@@ -515,7 +533,8 @@ class Tracker:
             return self.state
 
         # --- local map tracking ---
-        self.map, Tcw, frame_mp, n_inl = track_local_map(
+        (self.map, Tcw, frame_mp, n_inl,
+         n_close_tracked, n_close_untracked) = track_local_map(
             self.map, Tcw, fr, frame_mp, self.calib, cfg
         )
         n_inl = int(n_inl)
@@ -530,13 +549,18 @@ class Tracker:
         self.Tcw = Tcw
         self.last_n_inliers = n_inl
 
-        # --- keyframe decision (simplified NeedNewKeyFrame) ---
+        # --- keyframe decision (NeedNewKeyFrame, Tracking.cc:1411-1518) ---
         since_kf = self.frame_id - self.last_kf_frame
+        # need close points: few tracked close + enough untracked candidates
+        # (the reference's bNeedToInsertClose, Tracking.cc:1477)
+        need_close = (int(n_close_tracked) < 100
+                      and int(n_close_untracked) > 70)
+        weak_tracking = n_inl < 0.9 * max(self.ref_kf_tracked, 1)
         need_kf = (
             not self.only_tracking
             and (since_kf >= cfg.max_frames_kf
                  or (since_kf >= cfg.min_frames_kf
-                     and n_inl < 0.9 * max(self.ref_kf_tracked, 1)))
+                     and (weak_tracking or need_close)))
         )
         if need_kf and int(self.map.n_kf) < cfg.max_kf - 1:
             self.map, kf_mp = insert_keyframe_jit(

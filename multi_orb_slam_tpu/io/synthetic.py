@@ -20,7 +20,7 @@ import numpy as np
 
 class World(NamedTuple):
     points: np.ndarray      # [N, 3] float32 world positions
-    intensity: np.ndarray   # [N] float32 in [0, 255]
+    intensity: np.ndarray   # [N, 2, 2] float32 quadrant intensities [0, 255]
     size: np.ndarray        # [N] float32 physical half-size (meters)
 
 
@@ -43,7 +43,9 @@ def make_box_world(
         pts.append(p)
     points = np.concatenate(pts, axis=0).astype(np.float32)
     n = points.shape[0]
-    intensity = rng.uniform(30.0, 235.0, size=n).astype(np.float32)
+    # per-square 2x2 quadrant intensities: locally distinctive texture so
+    # BRIEF descriptors can disambiguate repeated structure
+    intensity = rng.uniform(30.0, 235.0, size=(n, 2, 2)).astype(np.float32)
     size = rng.uniform(0.02, 0.06, size=n).astype(np.float32)
     return World(points, intensity, size)
 
@@ -86,16 +88,22 @@ def render_rgbd(
     msk = vis[order]
     for idx in np.nonzero(msk)[0]:
         h = int(hi[idx])
-        x0 = int(round(ui[idx])) - h
-        x1 = int(round(ui[idx])) + h + 1
-        y0 = int(round(vi[idx])) - h
-        y1 = int(round(vi[idx])) + h + 1
-        x0c, x1c = max(x0, 0), min(x1, width)
-        y0c, y1c = max(y0, 0), min(y1, height)
-        if x0c >= x1c or y0c >= y1c:
-            continue
-        gray[y0c:y1c, x0c:x1c] = ii[idx]
-        depth[y0c:y1c, x0c:x1c] = zi[idx]
+        xc_ = int(round(ui[idx]))
+        yc_ = int(round(vi[idx]))
+        quads = ii[idx]
+        # draw four quadrant blocks (2-tone texture -> distinctive BRIEF)
+        for qy in range(2):
+            for qx in range(2):
+                x0 = xc_ - h + qx * h
+                x1 = x0 + h + (1 if qx == 1 else 0)
+                y0 = yc_ - h + qy * h
+                y1 = y0 + h + (1 if qy == 1 else 0)
+                x0c, x1c = max(x0, 0), min(x1, width)
+                y0c, y1c = max(y0, 0), min(y1, height)
+                if x0c >= x1c or y0c >= y1c:
+                    continue
+                gray[y0c:y1c, x0c:x1c] = quads[qy, qx]
+                depth[y0c:y1c, x0c:x1c] = zi[idx]
     return gray, depth
 
 
@@ -133,6 +141,26 @@ def orbit_trajectory(
     return poses
 
 
+def out_and_back_trajectory(
+    n_frames: int,
+    extent: float = 1.5,
+) -> np.ndarray:
+    """Camera moves out along +x and returns to the start (loop closure
+    test trajectory).  Returns [n_frames, 4, 4] Tcw."""
+    poses = np.zeros((n_frames, 4, 4), np.float32)
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        x = extent * np.sin(np.pi * s)          # 0 -> extent -> 0
+        center = np.array([x, 0.05 * np.sin(2 * np.pi * s), 0.0], np.float32)
+        Rcw = np.eye(3, dtype=np.float32)       # always facing +z wall
+        tcw = -Rcw @ center
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rcw
+        T[:3, 3] = tcw
+        poses[i] = T
+    return poses
+
+
 class SyntheticSequence(NamedTuple):
     grays: list          # per frame: [C, H, W] float32
     depths: list         # per frame: [C, H, W] float32
@@ -148,6 +176,7 @@ def make_sequence(
     width: int = 640,
     seed: int = 0,
     n_points: int = 3000,
+    trajectory: str = "orbit",
 ) -> SyntheticSequence:
     """Render a full (optionally multi-camera) RGB-D sequence with GT poses."""
     if K is None:
@@ -155,7 +184,10 @@ def make_sequence(
     if T_rc is None:
         T_rc = np.eye(4, dtype=np.float32)[None]
     world = make_box_world(seed=seed, n_points=n_points)
-    poses = orbit_trajectory(n_frames, seed=seed + 1)
+    if trajectory == "out_and_back":
+        poses = out_and_back_trajectory(n_frames)
+    else:
+        poses = orbit_trajectory(n_frames, seed=seed + 1)
     grays, depths = [], []
     for i in range(n_frames):
         gs, ds = [], []

@@ -76,7 +76,7 @@ def detect_loop_candidates(
     scores = np.asarray(db.bow_cam0 @ q)  # [K] L2-ish... use L1 pair score
     # L1 score needs |a-b|; do it exactly for the shortlist below
     K = scores.shape[0]
-    has = np.asarray(db.has_bow & state.kf_valid)
+    has = np.asarray(db.has_bow & state.kf_valid).copy()
     has[query_kf] = False
     # exclude covisibility-connected keyframes (weight >= 15)
     W = np.asarray(ms.covisibility(state, cam0_only=True))
@@ -92,7 +92,7 @@ def detect_loop_candidates(
         return []
     # accumulate over covisibility groups (top-10 covis of each candidate)
     acc = np.full(K, -1.0, np.float32)
-    best_of_group = np.arange(K)
+    best_of_group = np.arange(K).copy()
     for k in np.nonzero(ok)[0]:
         group = np.argsort(-W[k])[:10]
         group = group[W[k][group] > 0]
