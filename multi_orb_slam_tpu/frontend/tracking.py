@@ -466,6 +466,8 @@ class Tracker:
         self.calib = calib
         self.cfg = cfg
         self.kf_inserted_cb = None
+        self.reloc_cb = None  # fn(FrameData) -> (ok, Tcw, frame_mp, n_inl)
+        self.reloc_ready_fn = lambda: True  # is a reloc database usable?
         self.only_tracking = False  # localization mode (System.h:75-78)
         self.reset()
 
@@ -512,6 +514,33 @@ class Tracker:
                 self.last_kf_frame = self.frame_id
                 self.last_kf_slot = 0
                 self.ref_kf_tracked = int(jnp.sum(frame_mp >= 0))
+            self._record()
+            self.frame_id += 1
+            return self.state
+
+        if self.state == TrackState.LOST:
+            relocalized = False
+            if self.reloc_cb is not None:
+                ok, Tcw, frame_mp, n = self.reloc_cb(fr)
+                if ok:
+                    relocalized = True
+                    self.state = TrackState.OK
+                    self.Tcw = Tcw
+                    self.velocity = jnp.eye(4, dtype=jnp.float32)
+                    self.prev_frame, self.prev_mp = fr, frame_mp
+                    self.prev_Tcw = Tcw
+                    self.last_n_inliers = n
+            if not relocalized:
+                # early loss with no way to relocalize: full reset, as the
+                # reference does (Tracking.cc:634-642 "Track lost soon after
+                # initialisation"); with a usable reloc database we keep the
+                # map and keep trying instead
+                can_reloc = (self.reloc_cb is not None
+                             and self.reloc_ready_fn())
+                if (int(self.map.n_kf) <= 5 and not self.only_tracking
+                        and not can_reloc):
+                    self.reset()
+                    return self.process(grays, depths, timestamp)
             self._record()
             self.frame_id += 1
             return self.state

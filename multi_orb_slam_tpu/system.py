@@ -78,6 +78,10 @@ class System:
             self.loop_closer = loop_closing.LoopCloser(calib, cfg)
         if enable_mapping:
             self.tracker.kf_inserted_cb = self._on_keyframe
+        self.tracker.reloc_cb = self._relocalize
+        self.tracker.reloc_ready_fn = (
+            lambda: self.loop_closer is not None
+            and self.loop_closer.voc is not None)
         self._reset_requested = False
 
     # ------------------------------------------------------------------
@@ -92,6 +96,15 @@ class System:
         if self.loop_closer is not None:
             m = self.loop_closer.process_keyframe(m, kf_slot)
         return m
+
+    def _relocalize(self, fr):
+        """Tracking-lost recovery (reference Tracking::Relocalization)."""
+        if self.loop_closer is None or self.loop_closer.voc is None:
+            return False, None, None, 0
+        from .reloc import relocalization
+        return relocalization.relocalize(
+            self.tracker.map, fr, self.loop_closer.voc,
+            self.loop_closer.db, self.calib, self.cfg)
 
     # ------------------------------------------------------------------
     # Public API (reference include/System.h:63-127)
