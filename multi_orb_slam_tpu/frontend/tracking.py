@@ -227,8 +227,9 @@ def insert_keyframe_impl(
         n_mp=state.n_mp + jnp.sum(created.astype(jnp.int32)),
         next_kf_id=state.next_kf_id + 1,
     )
-    # refresh normals/scale ranges of re-observed points
-    new_state = update_point_geometry(new_state, cfg)
+    # NOTE: normals/scale ranges of re-observed points are refreshed by the
+    # mapping stage (update_point_geometry), not here -- it is a full-map
+    # pass and must not run on the per-frame tracking path
     return new_state, kf_mp_new
 
 
@@ -550,12 +551,15 @@ class Tracker:
             self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
             self.velocity, fr, self.calib, cfg,
         )
-        if int(n_inl) < cfg.min_matches_motion or int(n_map_inl) < 10:
+        n_inl, n_map_inl = (int(v) for v in np.asarray(
+            jnp.stack([n_inl, n_map_inl])))
+        if n_inl < cfg.min_matches_motion or n_map_inl < 10:
             Tcw, frame_mp, n_match, n_inl = track_reference_kf(
                 self.map, jnp.asarray(self.last_kf_slot), self.prev_Tcw,
                 fr, self.calib, cfg,
             )
-        if int(n_inl) < cfg.min_matches_motion:
+            n_inl = int(n_inl)
+        if n_inl < cfg.min_matches_motion:
             self.state = TrackState.LOST
             self._record()
             self.frame_id += 1
@@ -566,7 +570,9 @@ class Tracker:
          n_close_tracked, n_close_untracked) = track_local_map(
             self.map, Tcw, fr, frame_mp, self.calib, cfg
         )
-        n_inl = int(n_inl)
+        n_inl, n_close_tracked, n_close_untracked = (int(v) for v in
+            np.asarray(jnp.stack([n_inl, n_close_tracked,
+                                  n_close_untracked])))
         if n_inl < cfg.min_inliers_track:
             self.state = TrackState.LOST
             self._record()
@@ -582,8 +588,7 @@ class Tracker:
         since_kf = self.frame_id - self.last_kf_frame
         # need close points: few tracked close + enough untracked candidates
         # (the reference's bNeedToInsertClose, Tracking.cc:1477)
-        need_close = (int(n_close_tracked) < 100
-                      and int(n_close_untracked) > 70)
+        need_close = (n_close_tracked < 100 and n_close_untracked > 70)
         weak_tracking = n_inl < 0.9 * max(self.ref_kf_tracked, 1)
         need_kf = (
             not self.only_tracking
@@ -613,10 +618,11 @@ class Tracker:
         return self.state
 
     def _record(self):
-        ref = self.last_kf_slot
-        Tcr = np.asarray(self.Tcw @ se3.inverse(self.map.kf_Tcw[ref]))
+        # store device arrays only -- no host sync on the frame path; the
+        # relative pose is formed lazily at export time
         self.trajectory.append((
-            self.frame_id, self._ts, ref, Tcr,
+            self.frame_id, self._ts, self.last_kf_slot,
+            (self.Tcw, self.map.kf_Tcw[self.last_kf_slot]),
             self.state != TrackState.OK,
         ))
 
@@ -626,7 +632,8 @@ class Tracker:
         SaveTrajectoryTUM, src/System.cc:353-411)."""
         kf_Tcw = np.asarray(self.map.kf_Tcw)
         out = []
-        for fid, ts, ref, Tcr, lost in self.trajectory:
+        for fid, ts, ref, (Tcw_rec, ref_pose_rec), lost in self.trajectory:
+            Tcr = np.asarray(Tcw_rec) @ np.linalg.inv(np.asarray(ref_pose_rec))
             out.append((fid, ts, Tcr @ kf_Tcw[ref], lost))
         return out
 

@@ -162,8 +162,8 @@ def apply_ba_result(
     rows = jnp.where(erase, -1, rows)
     kf_mp = state.kf_mp.at[tgt_rows].set(rows)
 
-    state = state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp)
-    return update_point_geometry(state, cfg)
+    # point geometry refresh is deferred to the end of the mapping stage
+    return state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp)
 
 
 def run_local_ba(
@@ -217,11 +217,12 @@ def run_mapping_stage(
         state, _ = triangulation.triangulate_new_points(state, kf_slot, calib, cfg)
     if do_fuse:
         state, _ = fusion.fuse_neighbors(state, kf_slot, calib, cfg)
-        state = update_point_geometry(state, cfg)
     if do_ba and int(state.n_kf) > 2:
         state = run_local_ba(state, kf_slot, calib, cfg)
     if do_cull:
         state = cull_keyframes(state, jnp.asarray(kf_slot, jnp.int32), cfg)
+    # one full point-geometry refresh per mapping pass
+    state = update_point_geometry(state, cfg)
     return state
 
 

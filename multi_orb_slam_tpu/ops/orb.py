@@ -95,6 +95,39 @@ def make_brief_pattern(seed: int = 1234, n_bits: int = 256, patch_radius: int = 
 
 BRIEF_PATTERN = make_brief_pattern()
 
+# --- quantized-rotation BRIEF as one-hot matmul weights -------------------
+# Random per-point gathers are pathologically slow on TPU (~8 ms per sample
+# pass); instead the steered BRIEF is computed as PATCH @ W[bin]: the angle
+# is quantized to N_ROT bins (the ORB paper's 2*pi/30 discretization) and
+# each bin's difference-of-one-hots matrix turns the 256 comparisons into
+# one MXU matmul over the gathered patch.
+N_ROT = 30
+DESC_PATCH_R = 19  # covers rotated pattern offsets (13 * sqrt(2) ~ 18.4)
+
+
+def _make_rot_weights(pattern: np.ndarray, n_rot: int, radius: int):
+    side = 2 * radius + 1
+    W = np.zeros((n_rot, side * side, 256), np.float32)
+    pat = np.asarray(pattern)
+    for b in range(n_rot):
+        th = 2.0 * np.pi * b / n_rot
+        ca, sa = np.cos(th), np.sin(th)
+        for s in range(256):
+            x1, y1, x2, y2 = pat[s]
+            for (px, py, sign) in ((x1, y1, -1.0), (x2, y2, 1.0)):
+                rx = int(round(ca * px - sa * py))
+                ry = int(round(sa * px + ca * py))
+                rx = int(np.clip(rx, -radius, radius))
+                ry = int(np.clip(ry, -radius, radius))
+                W[b, (ry + radius) * side + (rx + radius), s] += sign
+    return W
+
+
+ROT_BRIEF_W = jnp.asarray(
+    _make_rot_weights(np.asarray(BRIEF_PATTERN), N_ROT, DESC_PATCH_R),
+    jnp.bfloat16,
+)
+
 
 # ---------------------------------------------------------------------------
 # Pyramid
@@ -348,10 +381,11 @@ class Features(NamedTuple):
 
 
 @partial(jax.jit, static_argnums=(1,))
-def extract_orb(img: jnp.ndarray, cfg: ORBConfig = ORBConfig()) -> Features:
-    """Extract ORB features from one grayscale image [H, W] float32.
+def extract_orb_reference(img: jnp.ndarray, cfg: ORBConfig = ORBConfig()) -> Features:
+    """Per-level (unbatched) extraction — readable reference implementation.
 
-    The per-level python loop is unrolled under jit (static level shapes).
+    `extract_orb` below computes the same features with all pyramid levels
+    batched onto one padded canvas (TPU-efficient path).
     """
     pyr = build_pyramid(img, cfg)
     counts = level_feature_counts(cfg)
@@ -381,6 +415,159 @@ def extract_orb(img: jnp.ndarray, cfg: ORBConfig = ORBConfig()) -> Features:
         response=jnp.concatenate(all_resp),
         desc=jnp.concatenate(all_desc),
         valid=jnp.concatenate(all_valid),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched-level extraction (TPU fast path)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_blur7_batched(imgs: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
+    """[B, H, W] separable 7x7 Gaussian via one conv pair."""
+    d = np.arange(-3, 4).astype(np.float32)
+    k = np.exp(-d * d / (2 * sigma * sigma))
+    k /= k.sum()
+    kx = jnp.asarray(k).reshape(1, 1, 1, 7)
+    ky = jnp.asarray(k).reshape(1, 1, 7, 1)
+    x = imgs[:, None]  # NCHW
+    x = jax.lax.conv_general_dilated(x, ky, (1, 1), [(3, 3), (0, 0)])
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1), [(0, 0), (3, 3)])
+    return x[:, 0]
+
+
+@partial(jax.jit, static_argnums=(1,))
+def extract_orb(img: jnp.ndarray, cfg: ORBConfig = ORBConfig()) -> Features:
+    """Batched-level ORB extraction.
+
+    All pyramid levels are written into one zero-padded [L, H0, W0] canvas so
+    FAST scoring, NMS, cell top-K, per-level top-N, blur, orientation, and
+    descriptors each run as ONE batched op instead of a per-level chain —
+    the op-dispatch and utilization win that makes the TPU front end fast.
+    Padding is masked by static per-level border masks; padded cells rank 0.
+    """
+    H0, W0 = img.shape
+    L = cfg.n_levels
+    shapes = pyramid_shapes(H0, W0, cfg)
+    counts = level_feature_counts(cfg)
+    pyr = build_pyramid(img, cfg)
+    canvas = jnp.zeros((L, H0, W0), img.dtype)
+    for lvl in range(L):
+        h, w = shapes[lvl]
+        canvas = canvas.at[lvl, :h, :w].set(pyr[lvl])
+
+    # FAST score on all levels at once
+    score = jax.vmap(fast_score)(canvas)
+    is_max = score >= jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
+    score = jnp.where(is_max, score, 0.0)
+    score = jnp.where(score >= cfg.fast_threshold_min, score, 0.0)
+
+    # static per-level border mask
+    m = cfg.edge_margin
+    border = np.zeros((L, H0, W0), bool)
+    for lvl in range(L):
+        h, w = shapes[lvl]
+        border[lvl, m:h - m, m:w - m] = True
+    score = jnp.where(jnp.asarray(border), score, 0.0)
+    rank = jnp.where(score >= cfg.fast_threshold, score + 1e4, score)
+
+    # cell top-K over all levels
+    cs = cfg.cell_size
+    ph = (cs - H0 % cs) % cs
+    pw = (cs - W0 % cs) % cs
+    rank_p = jnp.pad(rank, ((0, 0), (0, ph), (0, pw)))
+    hp, wp = H0 + ph, W0 + pw
+    ncy, ncx = hp // cs, wp // cs
+    cells = rank_p.reshape(L, ncy, cs, ncx, cs).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(L, ncy * ncx, cs * cs)
+    k = min(cfg.cell_top_k, cs * cs)
+    cell_vals, cell_idx = jax.lax.top_k(cells, k)      # [L, ncells, k]
+    cell_ids = jnp.arange(ncy * ncx)
+    cy = (cell_ids // ncx)[None, :, None]
+    cx = (cell_ids % ncx)[None, :, None]
+    iy = cy * cs + cell_idx // cs
+    ix = cx * cs + cell_idx % cs
+    flat_vals = cell_vals.reshape(L, -1)
+    flat_y = iy.reshape(L, -1)
+    flat_x = ix.reshape(L, -1)
+
+    # per-level top-cap selection (one batched top_k; cap = level-0 budget)
+    cap = max(counts)
+    top_vals, top_i = jax.lax.top_k(flat_vals, cap)     # [L, cap]
+    sel_y = jnp.take_along_axis(flat_y, top_i, axis=1).astype(jnp.float32)
+    sel_x = jnp.take_along_axis(flat_x, top_i, axis=1).astype(jnp.float32)
+    resp_all = jnp.where(top_vals >= 1e4, top_vals - 1e4, top_vals)
+    valid_all = top_vals > 0.0
+
+    # slice each level's budget and concatenate -> [F]
+    xs, ys, lvls, resps, valids = [], [], [], [], []
+    for lvl in range(L):
+        n_l = counts[lvl]
+        xs.append(sel_x[lvl, :n_l])
+        ys.append(sel_y[lvl, :n_l])
+        lvls.append(jnp.full((n_l,), lvl, jnp.int32))
+        resps.append(resp_all[lvl, :n_l])
+        valids.append(valid_all[lvl, :n_l])
+    x_lv = jnp.concatenate(xs)
+    y_lv = jnp.concatenate(ys)
+    level = jnp.concatenate(lvls)
+    response = jnp.concatenate(resps)
+    valid = jnp.concatenate(valids)
+    F = x_lv.shape[0]
+
+    # orientation + descriptors from ONE per-keypoint patch extraction.
+    # vmapped dynamic_slice is ~7x faster than advanced-index gathers on
+    # TPU; one 45x45 slice covers the descriptor pattern (r=19) plus the
+    # 7x7 blur support, so the blur runs on the small patches instead of
+    # the whole canvas.
+    rb = DESC_PATCH_R + 3          # 22: pattern radius + blur support
+    side_b = 2 * rb + 1            # 45
+    yi0 = jnp.clip(y_lv.astype(jnp.int32) - rb, 0, H0 - side_b)
+    xi0 = jnp.clip(x_lv.astype(jnp.int32) - rb, 0, W0 - side_b)
+
+    def slice_patch(l, y0, x0):
+        return jax.lax.dynamic_slice(canvas, (l, y0, x0), (1, side_b, side_b))[0]
+
+    patches45 = jax.vmap(slice_patch)(level, yi0, xi0)   # [F, 45, 45]
+
+    r = DESC_PATCH_R
+    raw39 = patches45[:, 3:3 + 2 * r + 1, 3:3 + 2 * r + 1]
+    dd = jnp.arange(-r, r + 1)
+    df = dd.astype(jnp.float32)
+    circ = ((df[:, None] ** 2 + df[None, :] ** 2) <= _PATCH_R * _PATCH_R)
+    pc = raw39 * circ[None]
+    m10 = jnp.sum(pc * df[None, None, :], axis=(1, 2))
+    m01 = jnp.sum(pc * df[None, :, None], axis=(1, 2))
+    angle = jnp.arctan2(m01, m10)
+
+    # blur the patches, then descriptors via the rotation-bin MXU matmul
+    bpatches = gaussian_blur7_batched(patches45)[:, 3:3 + 2 * r + 1,
+                                                 3:3 + 2 * r + 1]
+    side = 2 * r + 1
+    Pb = bpatches.reshape(F, side * side).astype(jnp.bfloat16)
+    two_pi = 2.0 * jnp.pi
+    ang_bin = jnp.mod(
+        jnp.round(jnp.mod(angle, two_pi) / two_pi * N_ROT).astype(jnp.int32),
+        N_ROT,
+    )
+    # one [F, 1521] @ [1521, N_ROT*256] MXU matmul computes every rotation
+    # bin; the per-feature bin is then selected with a one-hot contraction
+    W_all = ROT_BRIEF_W.transpose(1, 0, 2).reshape(-1, N_ROT * 256)
+    proj = jnp.dot(Pb, W_all, preferred_element_type=jnp.float32)
+    proj = proj.reshape(F, N_ROT, 256)
+    sel = jax.nn.one_hot(ang_bin, N_ROT, dtype=proj.dtype)
+    diff = jnp.einsum("fbs,fb->fs", proj, sel)
+    bits = (diff > 0).astype(jnp.uint32)
+    bits = bits.reshape(F, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    desc = jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+    scale = scale_factors(cfg)[level]
+    xy = jnp.stack([x_lv, y_lv], axis=-1) * scale[:, None]
+    return Features(
+        xy=xy, xy_und=xy, level=level, angle=angle,
+        response=response, desc=desc, valid=valid,
     )
 
 
