@@ -67,10 +67,10 @@ def fuse_into_kf(
     winner = jnp.where(a_wins, a, b)
     loser = jnp.where(a_wins, b, a)
     replace = jnp.arange(M, dtype=jnp.int32)
+    cfl = conflict.reshape(-1)
     lfl = jnp.where(conflict, loser, M - 1).reshape(-1)
-    wfl = jnp.where(conflict, winner, replace[lfl]).reshape(-1)
-    replace = replace.at[lfl].set(
-        jnp.where(conflict.reshape(-1), wfl, replace[lfl]))
+    wfl = jnp.where(cfl, winner.reshape(-1), replace[lfl])
+    replace = replace.at[lfl].set(jnp.where(cfl, wfl, replace[lfl]))
     # path compression: chains (c->b->a) terminate because edges strictly
     # increase the order key (DAG); 4 halvings cover depth 16
     for _ in range(4):
@@ -80,10 +80,10 @@ def fuse_into_kf(
     # losers die; their found/visible counters roll into the final winner
     is_loser = replace != jnp.arange(M, dtype=jnp.int32)
     wfin = replace[lfl]
-    mp_found = state.mp_found.at[jnp.where(conflict.reshape(-1), wfin, M - 1)].add(
-        jnp.where(conflict.reshape(-1), state.mp_found[lfl], 0))
-    mp_visible = state.mp_visible.at[jnp.where(conflict.reshape(-1), wfin, M - 1)].add(
-        jnp.where(conflict.reshape(-1), state.mp_visible[lfl], 0))
+    mp_found = state.mp_found.at[jnp.where(cfl, wfin, M - 1)].add(
+        jnp.where(cfl, state.mp_found[lfl], 0))
+    mp_visible = state.mp_visible.at[jnp.where(cfl, wfin, M - 1)].add(
+        jnp.where(cfl, state.mp_visible[lfl], 0))
     mp_valid = state.mp_valid & ~is_loser
 
     n_merged = jnp.sum(is_loser.astype(jnp.int32))
