@@ -54,6 +54,43 @@ def sample_depth(
 
 
 @partial(jax.jit, static_argnums=(3,))
+def build_frame_stereo(
+    gray_left: jnp.ndarray,    # [H, W] float32
+    gray_right: jnp.ndarray,   # [H, W]
+    calib: "cam_mod.CameraParams",
+    orb_cfg: orb.ORBConfig = orb.ORBConfig(),
+) -> FrameData:
+    """Stereo frame: depth from left<->right ORB matching (KITTI path).
+
+    Reference: the stock stereo Frame constructor + ComputeStereoMatches
+    (src/Frame.cc:76-146, 782-956).  Produces a single-camera FrameData whose
+    depth/uright come from stereo disparity.
+    """
+    from ..ops import stereo as stereo_mod
+
+    featsL = orb.extract_orb(gray_left, orb_cfg)
+    featsR = orb.extract_orb(gray_right, orb_cfg)
+    depth, uright = stereo_mod.stereo_match_depth(
+        featsL, featsR, calib.bf, orb_cfg.scale_factor)
+    # SAD subpixel refinement at level-0 resolution (Frame.cc:860-940)
+    depth, uright = stereo_mod.subpixel_refine(
+        gray_left, gray_right, featsL.xy[:, 0], featsL.xy[:, 1],
+        uright, calib.bf)
+    xy_und = cam_mod.undistort_pixels(calib.K[0], calib.dist[0], featsL.xy)
+    return FrameData(
+        xy=featsL.xy[None],
+        xy_und=xy_und[None],
+        level=featsL.level[None],
+        angle=featsL.angle[None],
+        response=featsL.response[None],
+        desc=featsL.desc[None],
+        valid=featsL.valid[None],
+        depth=depth[None],
+        uright=uright[None],
+    )
+
+
+@partial(jax.jit, static_argnums=(3,))
 def build_frame(
     grays: jnp.ndarray,       # [C, H, W] float32
     depths: jnp.ndarray,      # [C, H, W] float32 (meters; <=0 = no depth)

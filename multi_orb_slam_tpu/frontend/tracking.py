@@ -495,11 +495,15 @@ class Tracker:
 
     def process(self, grays: np.ndarray, depths: np.ndarray,
                 timestamp: float | None = None):
+        fr = frame_mod.build_frame(
+            jnp.asarray(grays), jnp.asarray(depths), self.calib, self.cfg.orb
+        )
+        return self.process_frame(fr, timestamp)
+
+    def process_frame(self, fr: frame_mod.FrameData,
+                      timestamp: float | None = None):
         cfg = self.cfg
         self._ts = timestamp if timestamp is not None else self.frame_id / 30.0
-        fr = frame_mod.build_frame(
-            jnp.asarray(grays), jnp.asarray(depths), self.calib, cfg.orb
-        )
         fid = jnp.asarray(self.frame_id, jnp.int32)
         if self.state == TrackState.NOT_INITIALIZED:
             n_depth = int(jnp.sum((fr.depth > 0) & fr.valid))
@@ -541,7 +545,7 @@ class Tracker:
                 if (int(self.map.n_kf) <= 5 and not self.only_tracking
                         and not can_reloc):
                     self.reset()
-                    return self.process(grays, depths, timestamp)
+                    return self.process_frame(fr, timestamp)
             self._record()
             self.frame_id += 1
             return self.state

@@ -58,13 +58,27 @@ def render_rgbd(
     width: int = 640,
     background: float = 100.0,
     max_half_px: int = 12,
+    supersample: int = 2,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render (gray [H, W], depth [H, W]) of the world from a camera pose.
 
     Painter's algorithm far-to-near; each world point is drawn as a filled
     square whose pixel size follows perspective.  Depth is 0 where nothing
-    projects (mimicking RGB-D holes).
+    projects (mimicking RGB-D holes).  `supersample` renders at s x
+    resolution and box-filters down so edges carry subpixel information
+    (needed for stereo subpixel disparity and corner localization).
     """
+    if supersample > 1:
+        s = supersample
+        Ks = np.asarray(K, np.float64) * s
+        # principal point scales as s*c + (s-1)/2 for pixel-center alignment
+        Ks[2] = s * K[2] + (s - 1) / 2.0
+        Ks[3] = s * K[3] + (s - 1) / 2.0
+        g, d = render_rgbd(world, Ks, Tcw, height * s, width * s,
+                           background, max_half_px * s, supersample=1)
+        g = g.reshape(height, s, width, s).mean(axis=(1, 3))
+        d = d.reshape(height, s, width, s)[:, 0, :, 0]
+        return g, d
     fx, fy, cx, cy = K
     R = Tcw[:3, :3]
     t = Tcw[:3, 3]

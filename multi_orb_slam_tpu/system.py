@@ -128,6 +128,21 @@ class System:
         self.tracker.process(grays, depths, timestamp)
         return np.asarray(self.tracker.Tcw)
 
+    def track_stereo(self, im_left, im_right, timestamp: Optional[float] = None):
+        """TrackStereo (the reference keeps this entry point though its
+        stereo build is disabled, src/System.cc:132-181): depth from
+        left<->right ORB matching, then the RGB-D pipeline."""
+        from .frontend import frame as frame_mod
+        if self._reset_requested:
+            self.tracker.reset()
+            self._reset_requested = False
+        fr = frame_mod.build_frame_stereo(
+            jnp.asarray(np.asarray(im_left, np.float32)),
+            jnp.asarray(np.asarray(im_right, np.float32)),
+            self.calib, self.cfg.orb)
+        self.tracker.process_frame(fr, timestamp)
+        return np.asarray(self.tracker.Tcw)
+
     def activate_localization_mode(self):
         """Track against the frozen map; no new keyframes
         (reference System::ActivateLocalizationMode, System.cc:298-303)."""
