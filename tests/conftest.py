@@ -27,5 +27,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.extend.backend.clear_backends()
 
 # Persist compiles across test runs (4 weak cores; XLA compiles dominate).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
+# CAVEAT: when the axon remote-TPU plugin is registered (sitecustomize ran
+# with PALLAS_AXON_POOL_IPS), some compilations can be produced on the remote
+# terminal machine, whose AOT executables carry CPU features this host lacks
+# (observed: silently wrong numerics from a poisoned cache entry).  In that
+# configuration we keep the cache in-memory only.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    pass  # no persistent cache under the axon-registered interpreter
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
