@@ -37,6 +37,11 @@ MIN_INLIERS_SIM3 = 20     # LoopClosing.cc:461
 MIN_TOTAL_MATCHES = 40    # LoopClosing.cc:522
 CONSISTENCY_TH = 3        # LoopClosing.cc:53 (mnCovisibilityConsistencyTh)
 DETECT_GAP = 10           # LoopClosing.cc:137 (mnId < mLastLoopKFid+10)
+MIN_LOOP_AGE = 30         # frames: a loop candidate must be genuinely old.
+                          # The reference relies on covisibility exclusion
+                          # alone; after tracking losses fragment the map, a
+                          # recent-but-disconnected KF can pass that gate and
+                          # close a spurious "loop" onto itself.
 VOCAB_MIN_DESCS = 6000
 
 
@@ -148,7 +153,10 @@ class LoopCloser:
         """Match + batched Sim3 RANSAC against each candidate."""
         C, F = state.kf_desc.shape[1], state.kf_desc.shape[2]
         M = self.cfg.max_mp
+        fid_a = int(state.kf_frame_id[kf_a])
         for kf_b in candidates:
+            if int(state.kf_frame_id[kf_b]) > fid_a - MIN_LOOP_AGE:
+                continue
             # camera-0 brute-force matching between map-point features
             da = state.kf_desc[kf_a][0]
             db_ = state.kf_desc[kf_b][0]
