@@ -165,6 +165,32 @@ class System:
     def get_tracked_map_points(self) -> int:
         return self.tracker.last_n_inliers
 
+    def get_tracked_keypoints_un(self):
+        """Undistorted keypoints of the last frame with their match mask
+        (reference System::GetTrackedKeyPointsUn, System.h:126)."""
+        if self.tracker.prev_frame is None:
+            return np.zeros((0, 2), np.float32), np.zeros((0,), bool)
+        fr = self.tracker.prev_frame
+        xy = np.asarray(fr.xy_und).reshape(-1, 2)
+        matched = np.asarray(self.tracker.prev_mp).reshape(-1) >= 0
+        valid = np.asarray(fr.valid).reshape(-1)
+        return xy[valid], matched[valid]
+
+    def change_calibration(self, settings_path: str,
+                           calibration_path: Optional[str] = None):
+        """Re-load camera settings (reference Tracking::ChangeCalibration,
+        src/Tracking.cc:2208-2239).  Capacities (the static SlamConfig) are
+        unchanged; intrinsics/distortion/rig extrinsics are replaced."""
+        n_cams = self.cfg.n_cams
+        st = config_io.load_settings(settings_path, n_cams=n_cams)
+        T12 = (config_io.load_calibration(calibration_path)
+               if calibration_path else None)
+        self.calib = config_io.camera_params_from(st, T12, n_cams)
+        self.depth_map_factor = st.depth_map_factor
+        self.tracker.calib = self.calib
+        if self.loop_closer is not None:
+            self.loop_closer.calib = self.calib
+
     @property
     def map(self) -> ms.MapState:
         return self.tracker.map
