@@ -23,7 +23,8 @@ class SlamConfig(NamedTuple):
     max_feat: int = 1024
     max_kf: int = 192
     max_mp: int = 24576
-    local_cap: int = 4096
+    local_cap: int = 2048       # local-point batch for per-frame search
+    ba_local_cap: int = 4096    # marginalized-point capacity in local BA
     new_mp_per_cam: int = 192   # close points created per camera per KF
     width: int = 640
     height: int = 480

@@ -40,7 +40,7 @@ def build_local_problem(
     """Extract the covisibility window around `center_kf` as a BAProblem."""
     K, C, F = state.kf_mp.shape
     M = state.mp_pos.shape[0]
-    P = cfg.local_cap
+    P = cfg.ba_local_cap
 
     center_obs = state.kf_mp[center_kf].reshape(-1)
     in_center = jnp.zeros(M, bool).at[

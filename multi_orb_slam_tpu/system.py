@@ -26,6 +26,7 @@ from .geometry import camera as cam_mod
 from .io import config_io, tum
 from .mapping import local_mapping, map_state as ms
 from .ops import orb
+from .utils import metrics as metrics_mod
 
 
 class Sensor:
@@ -84,18 +85,22 @@ class System:
             lambda: self.loop_closer is not None
             and self.loop_closer.voc is not None)
         self._reset_requested = False
+        self.metrics = metrics_mod.Metrics()
 
     # ------------------------------------------------------------------
     # Pipeline hooks
     # ------------------------------------------------------------------
 
     def _on_keyframe(self, kf_slot: int):
-        m = local_mapping.run_mapping_stage(
-            self.tracker.map, kf_slot, self.tracker.frame_id,
-            self.calib, self.cfg,
-        )
+        with self.metrics.span("mapping_stage"):
+            m = local_mapping.run_mapping_stage(
+                self.tracker.map, kf_slot, self.tracker.frame_id,
+                self.calib, self.cfg,
+            )
         if self.loop_closer is not None:
-            m = self.loop_closer.process_keyframe(m, kf_slot)
+            with self.metrics.span("loop_stage"):
+                m = self.loop_closer.process_keyframe(m, kf_slot)
+        self.metrics.count("keyframes_inserted")
         return m
 
     def _relocalize(self, fr):
@@ -126,8 +131,14 @@ class System:
         else:
             grays = np.asarray(im1, np.float32)[None]
             depths = np.asarray(depth1, np.float32)[None]
-        self.tracker.process(grays, depths, timestamp)
+        with self.metrics.span("track_frame"):
+            self.tracker.process(grays, depths, timestamp)
         return np.asarray(self.tracker.Tcw)
+
+    def timing_report(self) -> str:
+        """Per-stage timing summary (the reference's chrono prints,
+        structured; SURVEY.md §5)."""
+        return self.metrics.report()
 
     def track_stereo(self, im_left, im_right, timestamp: Optional[float] = None):
         """TrackStereo (the reference keeps this entry point though its
