@@ -656,8 +656,8 @@ class Tracker:
         if self.state == TrackState.NOT_INITIALIZED:
             n_depth = int(jnp.sum((fr.depth > 0) & fr.valid))
             # reference gate: >500 stereo points with nFeatures=1000
-            # (Tracking.cc:682); scale with capacity
-            if n_depth >= min(500, cfg.max_feat // 2):
+            # (Tracking.cc:682); scale with the configured feature budget
+            if n_depth >= min(500, cfg.orb.n_features // 2):
                 self.map, self.Tcw, frame_mp = initialize_map(
                     self.map, fr, self.calib, cfg, fid
                 )

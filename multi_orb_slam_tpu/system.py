@@ -58,6 +58,7 @@ class System:
             th_depth_m = st.bf * st.th_depth / float(st.K[0][0])
             cfg = SlamConfig(
                 n_cams=n_cams,
+                max_feat=st.n_features,
                 width=st.width, height=st.height,
                 scale_factor=st.scale_factor,
                 n_levels=st.n_levels,
