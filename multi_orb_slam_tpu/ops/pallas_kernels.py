@@ -7,7 +7,12 @@ and a single fused pass.
 
 - `fast_score_pallas`: FAST-9/16 segment-test corner strength
   (same math as ops/orb.fast_score; reference ORBextractor uses cv::FAST,
-  ORBextractor.cc:822,839).
+  ORBextractor.cc:822,839).  Wired into extract_orb on TPU.
+- `window_match_pallas`: fused gated best/second Hamming matcher.  Measured
+  ~1.3 ms vs ~1.5 ms for the XLA version at [2048 x 1024] (XLA already fuses
+  this chain well), so the searches keep the jnp formulation; the kernel is
+  maintained and parity-tested as the building block for future batched-rig
+  match fusion.
 
 Kernels run on TPU; on CPU backends the pure-jnp fallback is used (tests),
 selected by `jax.default_backend()` at trace time.
@@ -71,18 +76,20 @@ def _fast_kernel(img_ref, out_ref):
         out_ref[r0:r0 + ch, :] = jnp.maximum(bright, dark)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _fast_score_pallas_2d(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _fast_score_pallas_2d(img: jnp.ndarray, h: int, w: int,
+                          interpret: bool = False) -> jnp.ndarray:
     padded = jnp.pad(img, ((_R, _R), (_R, _R)))
     return pl.pallas_call(
         _fast_kernel,
         out_shape=jax.ShapeDtypeStruct((h, w), img.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(padded)
 
 
-def fast_score_pallas(img: jnp.ndarray) -> jnp.ndarray:
+def fast_score_pallas(img: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """FAST-9/16 corner strength; drop-in for ops.orb.fast_score.
 
     NOTE: unlike the roll-based jnp version (which wraps around edges and
@@ -91,12 +98,164 @@ def fast_score_pallas(img: jnp.ndarray) -> jnp.ndarray:
     """
     h, w = img.shape[-2], img.shape[-1]
     if img.ndim == 2:
-        return _fast_score_pallas_2d(img, h, w)
+        return _fast_score_pallas_2d(img, h, w, interpret)
     batch = img.shape[:-2]
     flat = img.reshape((-1, h, w))
-    out = jax.vmap(lambda x: _fast_score_pallas_2d(x, h, w))(flat)
+    out = jax.vmap(lambda x: _fast_score_pallas_2d(x, h, w, interpret))(flat)
     return out.reshape(batch + (h, w))
 
 
 def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Fused window matcher
+# ---------------------------------------------------------------------------
+#
+# The projection searches all share one inner loop: for each query (a
+# projected map point or a previous-frame feature), find the best and
+# second-best Hamming match among frame features inside a search window,
+# level range, and virtual-stereo gate.  The XLA version materializes
+# several [L, F] float masks plus the distance matrix in HBM; this kernel
+# fuses gating + popcount + argmin into one VMEM pass per query tile.
+
+_QT = 256  # queries per program
+
+
+def _popcount_i32(x):
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def _window_match_kernel(
+    q_ref, q_desc_ref, f_ref, f_desc_ref,
+    out_ref,
+):
+    """Lane-friendly layout: q_ref [6, QT] (u, v, rad, lmin, lmax, ur),
+    q_desc_ref [8, QT]; f_ref [4, F] (x, y, ur, level*mask packing:
+    row3 = level where masked valid else -1e9); f_desc_ref [8, F];
+    out_ref [4, QT] int32 (bi, bd, b2, b2i)."""
+    F = f_ref.shape[1]
+    qu = q_ref[0, :][:, None]          # [QT, 1]
+    qv = q_ref[1, :][:, None]
+    rad = q_ref[2, :][:, None]
+    lmin = q_ref[3, :][:, None]
+    lmax = q_ref[4, :][:, None]
+    qur = q_ref[5, :][:, None]
+
+    fx = f_ref[0, :][None, :]          # [1, F]
+    fy = f_ref[1, :][None, :]
+    fur = f_ref[2, :][None, :]
+    flv = f_ref[3, :][None, :]         # -1e9 where invalid
+
+    in_win = (jnp.abs(qu - fx) < rad) & (jnp.abs(qv - fy) < rad)
+    lv_ok = (flv >= lmin) & (flv <= lmax)
+    # stereo gate: frame feature without uR passes; otherwise |dur| < rad.
+    # query ur < -1e8 disables the gate entirely (brute-force mode).
+    ur_ok = (fur < 0) | (jnp.abs(qur - fur) < rad) | (qur < -1e8)
+    cand = in_win & lv_ok & ur_ok
+
+    acc = jnp.zeros((_QT, F), jnp.int32)
+    for w in range(8):
+        x = jnp.bitwise_xor(q_desc_ref[w, :][:, None], f_desc_ref[w, :][None, :])
+        acc = acc + _popcount_i32(x)
+
+    # Mosaic argmin supports f32 only; distances <= 256 so floats are exact
+    BIGD = jnp.float32(1 << 20)
+    d = jnp.where(cand, acc.astype(jnp.float32), BIGD)
+    bi = jnp.argmin(d, axis=1).astype(jnp.int32)
+    bd = jnp.min(d, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_QT, F), 1)
+    d2 = jnp.where(col == bi[:, None], BIGD, d)
+    b2i = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    b2 = jnp.min(d2, axis=1)
+    out_ref[0, :] = bi
+    out_ref[1, :] = bd.astype(jnp.int32)
+    out_ref[2, :] = b2.astype(jnp.int32)
+    out_ref[3, :] = b2i
+
+
+@functools.partial(jax.jit, static_argnums=(11,))
+def window_match_pallas(
+    q_uv, q_rad, q_lmin, q_lmax, q_ur, q_desc,
+    f_xy, f_ur, f_level, f_mask, f_desc, interpret: bool = False,
+):
+    """Fused gated best/second-best Hamming match.
+
+    Shapes: queries [L, ...], frame [F, ...].  Returns (best_idx [L],
+    best_d [L], second_d [L], second_idx [L]); no-candidate entries = 2^20.
+    """
+    L = q_uv.shape[0]
+    F = f_xy.shape[0]
+    pad = (-L) % _QT
+    q = jnp.stack([
+        q_uv[:, 0], q_uv[:, 1], q_rad,
+        q_lmin.astype(jnp.float32), q_lmax.astype(jnp.float32), q_ur,
+    ])                                             # [6, L]
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad)))
+        q_desc = jnp.pad(q_desc, ((0, pad), (0, 0)))
+    Lp = L + pad
+    qd = jax.lax.bitcast_convert_type(q_desc, jnp.int32).T        # [8, Lp]
+    flv = jnp.where(f_mask, f_level.astype(jnp.float32), -1e9)
+    f = jnp.stack([f_xy[:, 0], f_xy[:, 1], f_ur, flv])  # [4, F]
+    fd = jax.lax.bitcast_convert_type(f_desc, jnp.int32).T        # [8, F]
+
+    grid = (Lp // _QT,)
+    out = pl.pallas_call(
+        _window_match_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((6, _QT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _QT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, _QT), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, Lp), jnp.int32),
+        interpret=interpret,
+    )(q, qd, f, fd)
+    return out[0, :L], out[1, :L], out[2, :L], out[3, :L]
+
+
+def window_match_reference(
+    q_uv, q_rad, q_lmin, q_lmax, q_ur, q_desc,
+    f_xy, f_ur, f_level, f_mask, f_desc,
+):
+    """jnp fallback with identical semantics (CPU tests / non-TPU)."""
+    from . import hamming
+
+    du = jnp.abs(q_uv[:, 0:1] - f_xy[None, :, 0])
+    dv = jnp.abs(q_uv[:, 1:2] - f_xy[None, :, 1])
+    in_win = (du < q_rad[:, None]) & (dv < q_rad[:, None])
+    lv_ok = ((f_level[None, :] >= q_lmin[:, None])
+             & (f_level[None, :] <= q_lmax[:, None]))
+    ur_ok = ((f_ur[None, :] < 0)
+             | (jnp.abs(q_ur[:, None] - f_ur[None, :]) < q_rad[:, None])
+             | (q_ur[:, None] < -1e8))
+    cand = in_win & lv_ok & ur_ok & f_mask[None, :]
+    d = hamming.pairwise_hamming(q_desc, f_desc)
+    BIGD = 1 << 20
+    dm = jnp.where(cand, d, BIGD)
+    bi = jnp.argmin(dm, axis=1).astype(jnp.int32)
+    bd = jnp.min(dm, axis=1)
+    col = jnp.arange(f_xy.shape[0])[None, :]
+    d2 = jnp.where(col == bi[:, None], BIGD, dm)
+    b2i = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    b2 = jnp.min(d2, axis=1)
+    return bi, bd, b2, b2i
+
+
+def window_match(q_uv, q_rad, q_lmin, q_lmax, q_ur, q_desc,
+                 f_xy, f_ur, f_level, f_mask, f_desc):
+    if use_pallas():
+        return window_match_pallas(
+            q_uv, q_rad, q_lmin, q_lmax, q_ur, q_desc,
+            f_xy, f_ur, f_level, f_mask, f_desc)
+    return window_match_reference(
+        q_uv, q_rad, q_lmin, q_lmax, q_ur, q_desc,
+        f_xy, f_ur, f_level, f_mask, f_desc)
