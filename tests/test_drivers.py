@@ -116,3 +116,61 @@ class TestKittiDriver:
         lines = open(out).read().strip().splitlines()
         assert len(lines) == 6
         assert len(lines[0].split()) == 12  # 3x4 row-major
+
+
+class TestDualRgbdDriver:
+    def test_dual_driver_end_to_end(self, tmp_path):
+        """The reference's flagship invocation: two association files plus
+        the 4x3 calibration.txt (rgbd_tum.cc:40-46)."""
+        import cv2
+
+        rng = np.random.RandomState(0)
+        world = synthetic.make_box_world(seed=0, n_points=4000)
+        K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
+        # dual rig: camera 2 yawed 0.5 rad (calibration.txt = T_cam12)
+        from multi_orb_slam_tpu.geometry import se3
+        import jax.numpy as jnp
+        Ry = np.asarray(se3.so3_exp(jnp.asarray([0.0, 0.5, 0.0])))
+        T_c12 = np.eye(4, dtype=np.float32)
+        T_c12[:3, :3] = Ry
+        T_c12[:3, 3] = [0.16, 0.004, -0.07]
+        T_rc = np.stack([np.eye(4, dtype=np.float32),
+                         np.linalg.inv(T_c12).astype(np.float32)])
+        poses = synthetic.orbit_trajectory(6)
+        root = str(tmp_path / "seq")
+        for cam in (1, 2):
+            os.makedirs(f"{root}/rgb{cam}", exist_ok=True)
+            os.makedirs(f"{root}/depth{cam}", exist_ok=True)
+        for suffix, Trc in (("1", T_rc[0]), ("2", T_rc[1])):
+            assoc = []
+            for i in range(6):
+                Tcw = Trc @ poses[i]
+                g, d = synthetic.render_rgbd(world, K, Tcw, 240, 320)
+                t = i / 30.0
+                rgb_rel = f"rgb{suffix}/{t:.6f}.png"
+                dep_rel = f"depth{suffix}/{t:.6f}.png"
+                cv2.imwrite(f"{root}/{rgb_rel}", g.astype(np.uint8))
+                cv2.imwrite(f"{root}/{dep_rel}",
+                            (d * 5000.0).astype(np.uint16))
+                assoc.append(f"{t:.6f} {rgb_rel} {t:.6f} {dep_rel}")
+            with open(f"{root}/assoc{suffix}.txt", "w") as f:
+                f.write("\n".join(assoc) + "\n")
+        calib_path = str(tmp_path / "calibration.txt")
+        with open(calib_path, "w") as f:
+            for row in T_c12[:3, :3]:
+                f.write(" ".join(str(v) for v in row) + "\n")
+            f.write(" ".join(str(v) for v in T_c12[:3, 3]) + "\n")
+        settings = str(tmp_path / "settings.yaml")
+        write_settings(settings)
+        out = str(tmp_path / "traj.txt")
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, "examples/rgbd_tum.py", settings, root,
+             f"{root}/assoc1.txt", "--assoc2", f"{root}/assoc2.txt",
+             "--calibration", calib_path, "--out", out, "--no-realtime"],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert len(tum.read_trajectory_tum(out)) == 6
