@@ -548,6 +548,33 @@ def track_frame_fused(
     return state4, Tcw_out, fmp4, vel_out, tstate_new, scalars
 
 
+@partial(jax.jit, static_argnums=(9,))
+def track_frame_fused_images(
+    state: ms.MapState,
+    prev: frame_mod.FrameData,
+    prev_Tcw: jnp.ndarray,
+    prev_mp: jnp.ndarray,
+    velocity: jnp.ndarray,
+    tstate: jnp.ndarray,
+    grays: jnp.ndarray,
+    depths: jnp.ndarray,
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+    frame_id: jnp.ndarray,
+):
+    """Fused step INCLUDING frame building: images in, everything out.
+
+    One device dispatch covers ORB extraction, undistortion, depth
+    association, the whole tracking cascade, and conditional keyframe
+    insertion — the minimum-dispatch per-frame path.
+    """
+    fr = frame_mod.build_frame(grays, depths, calib, cfg.orb)
+    out = track_frame_fused(
+        state, prev, prev_Tcw, prev_mp, velocity, tstate, fr, calib, cfg,
+        frame_id)
+    return (fr,) + tuple(out)
+
+
 class TrackState:
     NOT_INITIALIZED = 0
     OK = 1
@@ -596,10 +623,39 @@ class Tracker:
 
     def process(self, grays: np.ndarray, depths: np.ndarray,
                 timestamp: float | None = None):
+        if self.pipelined and self.state == TrackState.OK:
+            self._resolve_pending()
+            if self.state == TrackState.OK:  # resolution may flip to LOST
+                self._ts = (timestamp if timestamp is not None
+                            else self.frame_id / 30.0)
+                return self._process_ok_fused_images(
+                    jnp.asarray(grays), jnp.asarray(depths))
         fr = frame_mod.build_frame(
             jnp.asarray(grays), jnp.asarray(depths), self.calib, self.cfg.orb
         )
         return self.process_frame(fr, timestamp)
+
+    def _process_ok_fused_images(self, grays, depths):
+        cfg = self.cfg
+        if self._tstate_dirty or self._tstate_dev is None:
+            self._tstate_dev = jnp.asarray(
+                [self.last_kf_frame, self.ref_kf_tracked, 0], jnp.int32)
+            self._tstate_dirty = False
+        tstate = self._tstate_dev.at[2].set(1 if self.only_tracking else 0)
+        fid = jnp.asarray(self.frame_id, jnp.int32)
+        (fr, self.map, self.Tcw, frame_mp, self.velocity,
+         self._tstate_dev, scalars) = track_frame_fused_images(
+            self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
+            self.velocity, tstate, grays, depths, self.calib, cfg, fid)
+        self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
+        self._record()
+        self._pending = {
+            "scalars": scalars,
+            "frame_id": self.frame_id,
+            "traj_idx": len(self.trajectory) - 1,
+        }
+        self.frame_id += 1
+        return self.state
 
     def _resolve_pending(self):
         """Read back the scalar pack of the last fused step (one sync)."""
