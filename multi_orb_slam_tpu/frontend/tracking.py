@@ -595,6 +595,7 @@ class Tracker:
         # pipelined: per-frame work is ONE fused device dispatch; status
         # scalars are read back one frame later (zero syncs on the hot path)
         self.pipelined = pipelined
+        self.fuse_extraction = False
         self.reset()
 
     def reset(self):
@@ -623,7 +624,12 @@ class Tracker:
 
     def process(self, grays: np.ndarray, depths: np.ndarray,
                 timestamp: float | None = None):
-        if self.pipelined and self.state == TrackState.OK:
+        # Optional single-dispatch path (extraction folded into the fused
+        # step).  Measured neutral-to-slower than the two-dispatch pipeline
+        # on the current backend and its larger graph is harder on the
+        # remote compiler, so it is opt-in.
+        if (self.pipelined and self.fuse_extraction
+                and self.state == TrackState.OK):
             self._resolve_pending()
             if self.state == TrackState.OK:  # resolution may flip to LOST
                 self._ts = (timestamp if timestamp is not None
