@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--kf-out", default="KeyFrameTrajectory.txt")
     ap.add_argument("--no-realtime", action="store_true",
                     help="don't sleep to match dataset timestamps")
+    ap.add_argument("--native-loader", action="store_true",
+                    help="prefetch+decode frames with the C++ async loader")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="zero-sync fused tracking (status lags one frame)")
     args = ap.parse_args()
 
     import cv2
@@ -66,8 +70,41 @@ def main():
         settings_path=args.settings,
         calibration_path=args.calibration,
         sensor=sensor,
+        pipelined=args.pipelined,
     )
     inv_depth_factor = 1.0 / slam.depth_map_factor
+
+    native = None
+    if args.native_loader and not dual:
+        from multi_orb_slam_tpu.io import native_loader
+        if native_loader.native_available():
+            pairs = load_assoc_pairs(args.assoc1)
+            items = [(f"{args.sequence}/{p1}", f"{args.sequence}/{p3}")
+                     for _, p1, _, p3 in pairs]
+            native = native_loader.AsyncRGBDLoader(
+                items, slam.cfg.height, slam.cfg.width,
+                depth_factor=slam.depth_map_factor)
+            print("using native async loader")
+        else:
+            print("native loader unavailable; falling back to cv2")
+
+    if native is not None:
+        pairs = load_assoc_pairs(args.assoc1)
+        track_times = []
+        for i, (gray, depth) in enumerate(native):
+            t0 = time.perf_counter()
+            slam.track_rgbd(gray, depth, timestamp=pairs[i][0])
+            track_times.append(time.perf_counter() - t0)
+        native.close()
+        slam.shutdown()
+        tt = np.sort(track_times)
+        print("-------")
+        print(f"median tracking time: {tt[len(tt) // 2]:.4f}")
+        print(f"mean tracking time: {np.mean(tt):.4f}")
+        slam.save_trajectory_tum(args.out)
+        slam.save_keyframe_trajectory_tum(args.kf_out)
+        print(f"trajectory saved to {args.out}")
+        return 0
 
     pairs1 = load_assoc_pairs(args.assoc1)
     pairs2 = load_assoc_pairs(args.assoc2) if dual else None

@@ -174,3 +174,28 @@ class TestDualRgbdDriver:
         )
         assert r.returncode == 0, r.stdout + r.stderr
         assert len(tum.read_trajectory_tum(out)) == 6
+
+
+class TestNativeLoaderDriver:
+    def test_driver_with_native_loader(self, tmp_path):
+        from multi_orb_slam_tpu.io import native_loader
+        if not native_loader.native_available():
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        root = str(tmp_path / "seq")
+        write_tum_dataset(root, n_frames=6)
+        settings = str(tmp_path / "settings.yaml")
+        write_settings(settings)
+        out = str(tmp_path / "traj.txt")
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, "examples/rgbd_tum.py", settings, root,
+             f"{root}/assoc.txt", "--out", out, "--no-realtime",
+             "--native-loader", "--pipelined"],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "native async loader" in r.stdout
+        assert len(tum.read_trajectory_tum(out)) == 6
