@@ -162,3 +162,12 @@ class TestPoseGraph:
         d = float(jnp.linalg.norm(sim3.log(sim3.compose(
             jnp.asarray(g_opt[1]), sim3.inverse(jnp.asarray(g[0]))))))
         assert d < 0.1
+
+
+class TestMultihostHelpers:
+    def test_single_process_noop_and_mesh(self):
+        from multi_orb_slam_tpu.parallel import multihost
+        multihost.initialize()  # no-op without coordinator env
+        mesh = multihost.global_mesh()
+        assert mesh.devices.size >= 1
+        assert mesh.axis_names == ("data",)
