@@ -169,7 +169,8 @@ class TestDualRgbdDriver:
         r = subprocess.run(
             [sys.executable, "examples/rgbd_tum.py", settings, root,
              f"{root}/assoc1.txt", "--assoc2", f"{root}/assoc2.txt",
-             "--calibration", calib_path, "--out", out, "--no-realtime"],
+             "--calibration", calib_path, "--out", out,
+             "--kf-out", str(tmp_path / "kf.txt"), "--no-realtime"],
             capture_output=True, text=True, timeout=900, env=env,
         )
         assert r.returncode == 0, r.stdout + r.stderr
@@ -192,7 +193,8 @@ class TestNativeLoaderDriver:
         env["JAX_PLATFORMS"] = "cpu"
         r = subprocess.run(
             [sys.executable, "examples/rgbd_tum.py", settings, root,
-             f"{root}/assoc.txt", "--out", out, "--no-realtime",
+             f"{root}/assoc.txt", "--out", out,
+             "--kf-out", str(tmp_path / "kf.txt"), "--no-realtime",
              "--native-loader", "--pipelined"],
             capture_output=True, text=True, timeout=900, env=env,
         )
