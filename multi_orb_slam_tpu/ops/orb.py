@@ -531,10 +531,16 @@ def extract_orb(img: jnp.ndarray, cfg: ORBConfig = ORBConfig()) -> Features:
     yi0 = jnp.clip(y_lv.astype(jnp.int32) - rb, 0, H0 - side_b)
     xi0 = jnp.clip(x_lv.astype(jnp.int32) - rb, 0, W0 - side_b)
 
-    def slice_patch(l, y0, x0):
-        return jax.lax.dynamic_slice(canvas, (l, y0, x0), (1, side_b, side_b))[0]
+    if _pk.use_pallas():
+        # DMA-gather kernel: overlapping async copies straight from the HBM
+        # canvas (the vmapped dynamic_slice lowers to a serialized loop)
+        patches45 = _pk.gather_patches_pallas(canvas, level, yi0, xi0, side_b)
+    else:
+        def slice_patch(l, y0, x0):
+            return jax.lax.dynamic_slice(
+                canvas, (l, y0, x0), (1, side_b, side_b))[0]
 
-    patches45 = jax.vmap(slice_patch)(level, yi0, xi0)   # [F, 45, 45]
+        patches45 = jax.vmap(slice_patch)(level, yi0, xi0)   # [F, 45, 45]
 
     r = DESC_PATCH_R
     raw39 = patches45[:, 3:3 + 2 * r + 1, 3:3 + 2 * r + 1]

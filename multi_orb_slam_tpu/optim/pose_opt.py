@@ -109,8 +109,12 @@ def optimize_pose(
     delta_stereo = jnp.sqrt(CHI2_STEREO)
 
     def lm_round(Tcw_init, inlier, use_huber):
-        def body(i, carry):
-            Tcw, lam, last_chi2 = carry
+        # One residual/Jacobian evaluation per iteration (g2o-style): the
+        # trial linearization doubles as the acceptance check, and on
+        # rejection the RETAINED (H, g) are re-solved with a larger lambda —
+        # exactly OptimizationAlgorithmLevenberg's retry loop, at half the
+        # evaluation count of a naive accept-then-relinearize scheme.
+        def linearize(Tcw):
             e, J, is_st, valid = _residual_jacobian(Tcw, obs, T_rc, K, bf)
             act = inlier & valid
             row = jnp.where(is_st[:, None],
@@ -122,36 +126,34 @@ def optimize_pose(
             r = jnp.sqrt(jnp.maximum(chi2, 1e-12))
             hw = jnp.where(use_huber & (r > delta), delta / r, 1.0)
             w = obs.inv_sigma2 * hw * act.astype(e.dtype)
-            We = e * row * w[:, None]
-            H = jnp.einsum("nri,nr,nrj->ij", J, row * w[:, None], J)
-            g = jnp.einsum("nri,nr->i", J, We)
-            # LM damping on the diagonal
+            Jw = J * (row * w[:, None])[..., None]       # [N, 3, 6]
+            Jf = J.reshape(-1, 6)
+            H = jnp.dot(Jw.reshape(-1, 6).T, Jf,
+                        preferred_element_type=jnp.float32)
+            g = jnp.einsum("nri,nr->i", Jw, e)
+            rho = jnp.where(use_huber & (r > delta),
+                            delta * (2.0 * r - delta), chi2)
+            total = jnp.sum(jnp.where(act, rho, 0.0))
+            return H, g, total
+
+        def body(i, carry):
+            Tcw_base, H, g, chi2_base, lam = carry
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
             dx = -jnp.linalg.solve(Hd, g)
-            Tcw_new = se3.exp(dx) @ Tcw
-            # evaluate new chi2 to accept/reject
-            e2, _, is_st2, valid2 = _residual_jacobian(Tcw_new, obs, T_rc, K, bf)
-            chi2_new_per = jnp.sum(e2 * e2 * row, axis=-1) * obs.inv_sigma2
-            r2n = jnp.sqrt(jnp.maximum(chi2_new_per, 1e-12))
-            rho_new = jnp.where(
-                use_huber & (r2n > delta),
-                delta * (2.0 * r2n - delta),
-                chi2_new_per,
-            )
-            rho_old = jnp.where(
-                use_huber & (r > delta), delta * (2.0 * r - delta), chi2
-            )
-            act2 = inlier & valid2
-            total_new = jnp.sum(jnp.where(act2, rho_new, 0.0))
-            total_old = jnp.sum(jnp.where(act, rho_old, 0.0))
-            accept = total_new < total_old
-            Tcw_out = jnp.where(accept, Tcw_new, Tcw)
-            lam_out = jnp.where(accept, lam * 0.5, lam * 4.0)
-            lam_out = jnp.clip(lam_out, 1e-9, 1e6)
-            return (Tcw_out, lam_out, jnp.where(accept, total_new, total_old))
+            Tcw_try = se3.exp(dx) @ Tcw_base
+            H_t, g_t, chi2_t = linearize(Tcw_try)
+            accept = chi2_t < chi2_base
+            Tcw_out = jnp.where(accept, Tcw_try, Tcw_base)
+            H_out = jnp.where(accept, H_t, H)
+            g_out = jnp.where(accept, g_t, g)
+            chi2_out = jnp.where(accept, chi2_t, chi2_base)
+            lam_out = jnp.clip(
+                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+            return (Tcw_out, H_out, g_out, chi2_out, lam_out)
 
-        init = (Tcw_init, jnp.asarray(1e-3, Tcw_init.dtype), jnp.asarray(jnp.inf, Tcw_init.dtype))
-        Tcw, _, _ = jax.lax.fori_loop(0, 10, body, init)
+        H0, g0, chi20 = linearize(Tcw_init)
+        init = (Tcw_init, H0, g0, chi20, jnp.asarray(1e-3, Tcw_init.dtype))
+        Tcw, _, _, _, _ = jax.lax.fori_loop(0, 10, body, init)
         return Tcw
 
     def reclassify(Tcw, _inlier):

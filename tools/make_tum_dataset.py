@@ -155,12 +155,18 @@ def main():
     with open(os.path.join(outdir, "settings.yaml"), "w") as f:
         f.write(SETTINGS_YAML.format(fx=K[0], fy=K[1], cx=K[2], cy=K[3],
                                      w=W, h=H, depth_factor=DEPTH_FACTOR))
-    # calibration.txt: rows 1-3 = Rcam12, row 4 = tcam12
-    # (reference parses it at src/System.cc:63-72)
+    # calibration.txt: rows 1-3 = Rcam12, row 4 = tcam12 where
+    # x_cam1 = Rcam12 @ x_cam2 + tcam12 — the reference's convention
+    # (System.cc:63-72 parse; Frame.cc:1066 `mRwc*(mRcam12*x3Dc_cam2+mtcam12)`).
+    # T_rc1 here maps rig(cam1)->cam2, so the file carries its INVERSE.
+    # (Round-2 fix: the file used to carry T_rc1 directly, which handed both
+    # systems an inverted rig extrinsic — the reference shrugged it off
+    # because its per-frame pose optimization is cam1-only, ours drifted.)
+    T_21 = np.linalg.inv(T_rc1)
     with open(os.path.join(outdir, "calibration.txt"), "w") as f:
         for r in range(3):
-            f.write(" ".join(f"{v:.9f}" for v in T_rc1[r, :3]) + "\n")
-        f.write(" ".join(f"{v:.9f}" for v in T_rc1[:3, 3]) + "\n")
+            f.write(" ".join(f"{v:.9f}" for v in T_21[r, :3]) + "\n")
+        f.write(" ".join(f"{v:.9f}" for v in T_21[:3, 3]) + "\n")
     print(f"wrote {n_frames} frames to {outdir}")
 
 
