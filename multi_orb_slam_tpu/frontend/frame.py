@@ -97,7 +97,13 @@ def build_frame(
     calib: "cam_mod.CameraParams",
     orb_cfg: orb.ORBConfig = orb.ORBConfig(),
 ) -> FrameData:
-    feats = jax.vmap(lambda im: orb.extract_orb(im, orb_cfg))(grays)
+    # explicit per-camera extraction (C is tiny and static).  NOT a vmap:
+    # the Pallas FAST kernels run on per-level true shapes, and the pallas
+    # vmap batching rule inserts the batch dim before the minor array dim,
+    # which Mosaic rejects for non-(8,128)-aligned level shapes.
+    per_cam = [orb.extract_orb(grays[c], orb_cfg)
+               for c in range(grays.shape[0])]
+    feats = jax.tree.map(lambda *xs: jnp.stack(xs), *per_cam)
     # undistort per camera
     xy_und = jax.vmap(
         lambda K, d, xy: cam_mod.undistort_pixels(K, d, xy)

@@ -456,13 +456,17 @@ def extract_orb(img: jnp.ndarray, cfg: ORBConfig = ORBConfig()) -> Features:
         h, w = shapes[lvl]
         canvas = canvas.at[lvl, :h, :w].set(pyr[lvl])
 
-    # FAST score on all levels at once (Pallas kernel on TPU: one fused
-    # VMEM pass instead of ~50 HBM-bound elementwise passes)
+    # FAST score per level at its TRUE shape (Pallas kernel on TPU: one
+    # fused VMEM pass instead of ~50 HBM-bound elementwise passes).  The
+    # canvas is ~2.6x padding by area — scoring each level's real extent
+    # and scattering into the canvas skips that wasted compute; the border
+    # mask below hides any edge-handling difference.
     from . import pallas_kernels as _pk
-    if _pk.use_pallas():
-        score = _pk.fast_score_pallas(canvas)
-    else:
-        score = jax.vmap(fast_score)(canvas)
+    score_fn = _pk.fast_score_pallas if _pk.use_pallas() else fast_score
+    score = jnp.zeros((L, H0, W0), img.dtype)
+    for lvl in range(L):
+        h, w = shapes[lvl]
+        score = score.at[lvl, :h, :w].set(score_fn(pyr[lvl]))
     is_max = score >= jax.lax.reduce_window(
         score, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
     score = jnp.where(is_max, score, 0.0)

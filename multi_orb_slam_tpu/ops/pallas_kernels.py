@@ -79,14 +79,29 @@ def _fast_kernel(img_ref, out_ref):
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _fast_score_pallas_2d(img: jnp.ndarray, h: int, w: int,
                           interpret: bool = False) -> jnp.ndarray:
-    padded = jnp.pad(img, ((_R, _R), (_R, _R)))
-    return pl.pallas_call(
+    # Asymmetric padding keeps BOTH the padded input and the output
+    # (8, 128)-aligned in their last two dims, so the kernel stays legal
+    # under vmap batching (the batch dim may land between them and the
+    # Mosaic block check then inspects each dim separately).  The kernel
+    # only requires a >= _R margin at the top-left.
+    hp = (h + 7) // 8 * 8
+    wp = (w + 127) // 128 * 128
+    padded = jnp.pad(img, ((_R, hp + 8 - h - _R), (_R, wp + 128 - w - _R)))
+    # explicit unit grid + full-size blocks: under vmap the batch dim then
+    # prepends cleanly as a leading grid axis (a gridless full-VMEM spec
+    # gets its batch dim inserted between the image dims, which Mosaic
+    # rejects for unaligned shapes)
+    out = pl.pallas_call(
         _fast_kernel,
-        out_shape=jax.ShapeDtypeStruct((h, w), img.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((hp + 8, wp + 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((hp, wp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), img.dtype),
         interpret=interpret,
     )(padded)
+    return out[:h, :w]
 
 
 def fast_score_pallas(img: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:

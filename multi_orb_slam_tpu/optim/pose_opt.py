@@ -44,7 +44,35 @@ class PoseObs(NamedTuple):
     mask: jnp.ndarray       # [N] bool valid observation
 
 
-def _residual_jacobian(Tcw, obs: PoseObs, T_rc, K, bf):
+class _CamGathers(NamedTuple):
+    """Per-observation camera quantities, constant across LM iterations.
+
+    Hoisted out of the iteration loop: the [N]-sized gathers of rig
+    extrinsics/intrinsics depend only on `obs`, not on the pose, so
+    computing them once removes ~40 gather chains from the critical path
+    of the 4x10 schedule.
+    """
+
+    Rrc: jnp.ndarray   # [N, 3, 3] rig->cam rotation per observation
+    trc: jnp.ndarray   # [N, 3]
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    bfo: jnp.ndarray
+
+
+def _precompute_cams(obs: PoseObs, T_rc, K, bf) -> _CamGathers:
+    Trc_o = T_rc[obs.cam_idx]               # [N, 4, 4]
+    Ko = K[obs.cam_idx]                      # [N, 4]
+    return _CamGathers(
+        Rrc=Trc_o[:, :3, :3], trc=Trc_o[:, :3, 3],
+        fx=Ko[:, 0], fy=Ko[:, 1], cx=Ko[:, 2], cy=Ko[:, 3],
+        bfo=jnp.broadcast_to(bf, obs.cam_idx.shape),
+    )
+
+
+def _residual_jacobian(Tcw, obs: PoseObs, T_rc, K, bf, cams=None):
     """Residuals e [N, 3], Jacobians J = de/dxi [N, 3, 6], stereo mask [N].
 
     e = obs - (u, v, ur) of the predicted projection;
@@ -52,12 +80,12 @@ def _residual_jacobian(Tcw, obs: PoseObs, T_rc, K, bf):
     Mirrors the fork's analytic `linearizeOplus` chain with `Tcim_quat`
     (types_six_dof_expmap.cpp:600-698), vectorized over observations.
     """
+    if cams is None:
+        cams = _precompute_cams(obs, T_rc, K, bf)
     Xr = se3.transform_points(Tcw, obs.pw)  # [N, 3] rig-body frame
-    Trc_o = T_rc[obs.cam_idx]               # [N, 4, 4]
-    Xc = jnp.einsum("nij,nj->ni", Trc_o[:, :3, :3], Xr) + Trc_o[:, :3, 3]
-    Ko = K[obs.cam_idx]                      # [N, 4]
-    fx, fy, cx, cy = Ko[:, 0], Ko[:, 1], Ko[:, 2], Ko[:, 3]
-    bfo = jnp.broadcast_to(bf, obs.cam_idx.shape)
+    Xc = jnp.einsum("nij,nj->ni", cams.Rrc, Xr) + cams.trc
+    fx, fy, cx, cy = cams.fx, cams.fy, cams.cx, cams.cy
+    bfo = cams.bfo
 
     x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
     z_ok = z > 1e-3
@@ -84,15 +112,16 @@ def _residual_jacobian(Tcw, obs: PoseObs, T_rc, K, bf):
         ],
         axis=-2,
     )
-    # dXc/dxi = R_rc @ [I | -hat(Xr)]  [N, 3, 6]
-    I3 = jnp.broadcast_to(jnp.eye(3, dtype=Xr.dtype), Xr.shape[:-1] + (3, 3))
-    G = jnp.concatenate([I3, -se3.hat(Xr)], axis=-1)  # [N, 3, 6]
-    J = -jnp.einsum("nij,njk,nkl->nil", A, Trc_o[:, :3, :3], G)
+    # dXc/dxi = R_rc @ [I | -hat(Xr)]: form B = A @ R_rc once [N, 3, 3],
+    # then J = -[B | -B @ hat(Xr)] (avoids the padded [N,3,6] einsum chain)
+    B = jnp.einsum("nij,njk->nik", A, cams.Rrc)
+    Bh = jnp.einsum("nij,njk->nik", B, se3.hat(Xr))
+    J = jnp.concatenate([-B, Bh], axis=-1)  # [N, 3, 6]
     valid = obs.mask & z_ok
     return e, J, is_stereo, valid
 
 
-@partial(jax.jit, static_argnums=(5,))
+@partial(jax.jit, static_argnums=(5, 6))
 def optimize_pose(
     Tcw0: jnp.ndarray,
     obs: PoseObs,
@@ -100,6 +129,7 @@ def optimize_pose(
     K: jnp.ndarray,      # [C, 4]
     bf: jnp.ndarray,     # [] scalar
     n_rounds: int = 4,
+    n_iters: int = 10,
 ):
     """Run the reference's 4x10 motion-only BA schedule.
 
@@ -107,6 +137,7 @@ def optimize_pose(
     """
     delta_mono = jnp.sqrt(CHI2_MONO)
     delta_stereo = jnp.sqrt(CHI2_STEREO)
+    cams = _precompute_cams(obs, T_rc, K, bf)
 
     def lm_round(Tcw_init, inlier, use_huber):
         # One residual/Jacobian evaluation per iteration (g2o-style): the
@@ -115,7 +146,8 @@ def optimize_pose(
         # exactly OptimizationAlgorithmLevenberg's retry loop, at half the
         # evaluation count of a naive accept-then-relinearize scheme.
         def linearize(Tcw):
-            e, J, is_st, valid = _residual_jacobian(Tcw, obs, T_rc, K, bf)
+            e, J, is_st, valid = _residual_jacobian(Tcw, obs, T_rc, K, bf,
+                                                    cams)
             act = inlier & valid
             row = jnp.where(is_st[:, None],
                             jnp.ones_like(e),
@@ -153,11 +185,11 @@ def optimize_pose(
 
         H0, g0, chi20 = linearize(Tcw_init)
         init = (Tcw_init, H0, g0, chi20, jnp.asarray(1e-3, Tcw_init.dtype))
-        Tcw, _, _, _, _ = jax.lax.fori_loop(0, 10, body, init)
+        Tcw, _, _, _, _ = jax.lax.fori_loop(0, n_iters, body, init)
         return Tcw
 
     def reclassify(Tcw, _inlier):
-        e, _, is_st, valid = _residual_jacobian(Tcw, obs, T_rc, K, bf)
+        e, _, is_st, valid = _residual_jacobian(Tcw, obs, T_rc, K, bf, cams)
         row = jnp.where(is_st[:, None],
                         jnp.ones_like(e),
                         jnp.broadcast_to(jnp.array([1.0, 1.0, 0.0], e.dtype), e.shape))
