@@ -1,29 +1,53 @@
 """Benchmark: end-to-end dual-camera RGB-D tracking throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Baseline: the reference (AlterPang/Multi_ORB_SLAM) is a real-time CPU system
-driven at 30 fps camera rate with 1000+500 ORB features/frame
-(OtherFiles/multi.yaml:23, rgbd_tum.cc:144-152); it publishes no fps numbers
-(BASELINE.md), so 30 fps — the rate it must sustain to be "real-time" — is
-the baseline. vs_baseline = our frames/s / 30.
+Baseline: the reference (AlterPang/Multi_ORB_SLAM) built and run on this
+machine (BASELINE_MEASURED.md) sustains 30.1 fps median on the same
+synthetic TUM-layout dual-camera sequence with 1000+500 ORB features
+(OtherFiles/multi.yaml:23, rgbd_tum.cc:144-152) — which matches the 30 fps
+real-time camera budget, so vs_baseline = our frames/s / 30.
 
-The measured path is the full per-frame tracking pipeline (the reference's
-Tracking-thread work): dual-camera ORB pyramid extraction, motion-model
-projection search, motion-only BA, local-map search, second BA, on
-synthetic 640x480 RGB-D frames.  Mapping (local BA etc.) runs on keyframe
-insertions, excluded from the per-frame median exactly like the reference's
-median tracking-time print (rgbd_tum.cc:160-169).
+The measured path is the FULL pipeline: dual-camera ORB pyramid extraction,
+motion-model projection search, motion-only BA, local-map search, second BA,
+keyframe insertion, AND the mapping stage (culling, triangulation, fusion,
+local BA, KF culling) at every keyframe — unlike the reference's median
+tracking time, which hides mapping on a parallel thread, the headline fps
+here includes it.  Per-KF mapping latency is reported separately.
 """
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 import numpy as np  # noqa: E402
+
+FRAME_CACHE = "/tmp/bench_frames_v2.npz"
+
+
+def load_frames(n_frames, K, T_rc, H, W):
+    """Render (or reload) the synthetic benchmark sequence."""
+    from multi_orb_slam_tpu.io import synthetic
+
+    if os.path.exists(FRAME_CACHE):
+        try:
+            z = np.load(FRAME_CACHE)
+            if z["grays"].shape[0] == n_frames:
+                return z["grays"], z["depths"]
+        except Exception:
+            pass
+    seq = synthetic.make_sequence(
+        n_frames=n_frames, K=np.asarray(K[0]), T_rc=np.asarray(T_rc),
+        height=H, width=W, n_points=4000)
+    grays = np.stack(seq.grays).astype(np.float32)
+    depths = np.stack(seq.depths).astype(np.float32)
+    try:
+        np.savez(FRAME_CACHE, grays=grays, depths=depths)
+    except Exception:
+        pass
+    return grays, depths
 
 
 def main():
@@ -32,20 +56,20 @@ def main():
 
     from multi_orb_slam_tpu.config import SlamConfig
     from multi_orb_slam_tpu.frontend import tracking
-    from multi_orb_slam_tpu.geometry import camera as cam_mod
-    from multi_orb_slam_tpu.io import synthetic
+    from multi_orb_slam_tpu.geometry import camera as cam_mod, se3
+    from multi_orb_slam_tpu.mapping import local_mapping
     from multi_orb_slam_tpu.ops import orb
 
     H, W = 480, 640
     C = 2
-    n_frames = 40
+    n_frames = 60
+    warmup = 8
     cfg = SlamConfig(
         n_cams=C, width=W, height=H,
         orb=orb.ORBConfig(n_features=1024),
     )
     K = jnp.tile(jnp.asarray([[520.9, 521.0, 320.0, 240.0]]), (C, 1))
-    # dual rig ~90 deg apart like the reference's calibration.txt
-    from multi_orb_slam_tpu.geometry import se3
+    # dual rig ~29 deg apart like the reference's calibration.txt
     Ry = se3.so3_exp(jnp.asarray([0.0, 0.5, 0.0]))
     T_rc1 = jnp.eye(4).at[:3, :3].set(Ry).at[:3, 3].set(
         jnp.asarray([0.16, 0.004, -0.07]))
@@ -54,22 +78,36 @@ def main():
         K=K, dist=jnp.zeros((C, 5)), T_rc=T_rc, bf=jnp.asarray(40.0),
         width=W, height=H)
 
-    seq = synthetic.make_sequence(
-        n_frames=n_frames, K=np.asarray(K[0]), T_rc=np.asarray(T_rc),
-        height=H, width=W, n_points=4000,
-    )
+    grays, depths = load_frames(n_frames, K, T_rc, H, W)
 
-    tracker = tracking.Tracker(calib, cfg, pipelined=True)
+    tracker = tracking.Tracker(calib, cfg, pipelined=True, pipeline_depth=3)
+    kf_times = []
+
+    def kf_cb(kf_slot):
+        t0 = time.perf_counter()
+        m = local_mapping.run_mapping_stage(
+            tracker.map, kf_slot, tracker.frame_id, calib, cfg)
+        jax.block_until_ready(m.kf_Tcw)
+        kf_times.append(time.perf_counter() - t0)
+        return m
+
+    tracker.kf_inserted_cb = kf_cb
+
     # pre-stage all frames on device (the data-loading path is measured
     # separately; the reference's median likewise excludes image loading)
-    dev_frames = []
-    for grays, depths in zip(seq.grays, seq.depths):
-        dev_frames.append((jnp.asarray(grays), jnp.asarray(depths)))
+    dev_frames = [(jnp.asarray(grays[i]), jnp.asarray(depths[i]))
+                  for i in range(n_frames)]
     jax.block_until_ready(dev_frames)
 
-    warmup = 5
     for i in range(warmup):
         tracker.process(*dev_frames[i])
+    # compile the mapping stage up front so the first real keyframe in the
+    # measured window doesn't pay the compile
+    _pre = local_mapping.run_mapping_stage(
+        tracker.map, 0, tracker.frame_id, calib, cfg)
+    jax.block_until_ready(_pre.kf_Tcw)
+    del _pre
+    kf_times.clear()
     jax.block_until_ready(tracker.Tcw)
 
     times = []
@@ -78,24 +116,24 @@ def main():
         t0 = time.perf_counter()
         tracker.process(*dev_frames[i])
         times.append(time.perf_counter() - t0)
-    jax.block_until_ready(tracker.Tcw)
     tracker._resolve_pending()
+    jax.block_until_ready(tracker.Tcw)
     total = time.perf_counter() - t_start
 
-    # throughput over the steady-state segment (pipelined: per-frame wall
-    # clock overlaps device compute, like the reference's free-running
-    # tracking thread)
+    # throughput over the steady-state segment, INCLUDING mapping stages
     per_frame = total / (n_frames - warmup)
     median = float(np.median(times))
     fps = 1.0 / per_frame
-    ok_frames = len(times)
     result = {
         "metric": "tracking_fps_dual_cam_640x480",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
         "median_ms": round(median * 1e3, 2),
-        "frames_measured": ok_frames,
+        "frames_measured": len(times),
+        "keyframes_mapped": len(kf_times),
+        "mapping_ms_per_kf": round(float(np.mean(kf_times)) * 1e3, 2)
+        if kf_times else None,
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))

@@ -35,6 +35,9 @@ class SlamConfig(NamedTuple):
     max_frames_kf: int = 30     # reference: fps
     min_inliers_track: int = 30 # TrackLocalMap accept gate (Tracking.cc:1396)
     min_matches_motion: int = 20
+    kf_ref_ratio: float = 0.75  # NeedNewKeyFrame weak-tracking ratio for
+                                # stereo/RGB-D (Tracking.cc:1474; 0.9 is the
+                                # reference's MONO value)
     orb: orb.ORBConfig = orb.ORBConfig()
 
 

@@ -144,6 +144,7 @@ def insert_keyframe_impl(
     want = close.reshape(-1)
     slots = ms.allocate_mp_slots(state.mp_valid, want)  # [C*F]
     created = slots >= 0
+    n_failed = jnp.sum((want & ~created).astype(jnp.int32))
     new_mp_grid = jnp.where(created, slots, -1).reshape(C, F)
     kf_mp_new = jnp.where(frame_mp >= 0, frame_mp, new_mp_grid)
 
@@ -226,6 +227,7 @@ def insert_keyframe_impl(
         n_kf=state.n_kf + 1,
         n_mp=state.n_mp + jnp.sum(created.astype(jnp.int32)),
         next_kf_id=state.next_kf_id + 1,
+        n_alloc_failed=state.n_alloc_failed + n_failed,
     )
     # NOTE: normals/scale ranges of re-observed points are refreshed by the
     # mapping stage (update_point_geometry), not here -- it is a full-map
@@ -512,10 +514,11 @@ def track_frame_fused(
     # keyframe decision (NeedNewKeyFrame) on device
     since_kf = frame_id - last_kf_frame
     need_close = (n_ct < 100) & (n_cu > 70)
-    weak = n_inl3 < (0.9 * jnp.maximum(ref_kf_tracked, 1).astype(jnp.float32))
+    weak = n_inl3 < (cfg.kf_ref_ratio
+                     * jnp.maximum(ref_kf_tracked, 1).astype(jnp.float32))
     capacity = state3.n_kf < cfg.max_kf - 1
     need_kf = (
-        ok & ~only_tracking & capacity
+        ok & ~only_tracking & capacity & (n_inl3 > 15)
         & ((since_kf >= cfg.max_frames_kf)
            | ((since_kf >= cfg.min_frames_kf) & (weak | need_close)))
     )
@@ -585,7 +588,7 @@ class Tracker:
     """Host orchestration of the jitted stages (one device sync per frame)."""
 
     def __init__(self, calib: cam_mod.CameraParams, cfg: SlamConfig,
-                 pipelined: bool = False):
+                 pipelined: bool = False, pipeline_depth: int = 1):
         self.calib = calib
         self.cfg = cfg
         self.kf_inserted_cb = None
@@ -593,8 +596,14 @@ class Tracker:
         self.reloc_ready_fn = lambda: True  # is a reloc database usable?
         self.only_tracking = False  # localization mode (System.h:75-78)
         # pipelined: per-frame work is ONE fused device dispatch; status
-        # scalars are read back one frame later (zero syncs on the hot path)
+        # scalars are read back `pipeline_depth` frames later (zero syncs on
+        # the hot path).  Depth > 1 keeps that many frames in flight so the
+        # readback lands on already-finished work — on a remote-attached
+        # chip (~30 ms RTT per sync) this hides the round trip entirely; the
+        # mapping stage then runs depth-1 frames after its keyframe, the
+        # same lag a free-running mapping thread has in the reference.
         self.pipelined = pipelined
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self.fuse_extraction = False
         self.reset()
 
@@ -613,7 +622,7 @@ class Tracker:
         self.last_kf_frame = -999
         self.last_kf_slot = 0
         self.ref_kf_tracked = 0
-        self._pending = None       # deferred scalar pack of the last fused step
+        self._pending = []         # FIFO of deferred fused-step scalar packs
         self._tstate_dev = None    # device [3]: last_kf_frame, ref_tracked, flag
         self._tstate_dirty = True
         self.last_n_inliers = 0
@@ -630,7 +639,7 @@ class Tracker:
         # remote compiler, so it is opt-in.
         if (self.pipelined and self.fuse_extraction
                 and self.state == TrackState.OK):
-            self._resolve_pending()
+            self._drain_pending(keep=self.pipeline_depth - 1)
             if self.state == TrackState.OK:  # resolution may flip to LOST
                 self._ts = (timestamp if timestamp is not None
                             else self.frame_id / 30.0)
@@ -655,24 +664,38 @@ class Tracker:
             self.velocity, tstate, grays, depths, self.calib, cfg, fid)
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
         self._record()
-        self._pending = {
-            "scalars": scalars,
-            "frame_id": self.frame_id,
-            "traj_idx": len(self.trajectory) - 1,
-        }
+        self._push_pending(scalars)
         self.frame_id += 1
         return self.state
 
+    def _push_pending(self, scalars):
+        try:
+            scalars.copy_to_host_async()  # start the RTT now, read later
+        except AttributeError:
+            pass
+        self._pending.append({
+            "scalars": scalars,
+            "frame_id": self.frame_id,
+            "traj_idx": len(self.trajectory) - 1,
+        })
+
     def _resolve_pending(self):
-        """Read back the scalar pack of the last fused step (one sync)."""
-        if self._pending is None:
+        """Read back every outstanding fused-step scalar pack."""
+        self._drain_pending(keep=0)
+
+    def _drain_pending(self, keep: int = 0):
+        while len(self._pending) > keep:
+            self._resolve_oldest()
+
+    def _resolve_oldest(self):
+        if not self._pending:
             return
-        scal = np.asarray(self._pending["scalars"])
+        pending = self._pending.pop(0)
+        scal = np.asarray(pending["scalars"])
         ok, n_inl, inserted, kf_slot, _n_kf, _nct, _ncu, _nm = (
             int(v) for v in scal)
-        fid = self._pending["frame_id"]
-        traj_idx = self._pending["traj_idx"]
-        self._pending = None
+        fid = pending["frame_id"]
+        traj_idx = pending["traj_idx"]
         self.last_n_inliers = n_inl
         if not ok:
             self.state = TrackState.LOST
@@ -681,11 +704,20 @@ class Tracker:
         if inserted:
             self.last_kf_frame = fid
             self.last_kf_slot = kf_slot
-            self.ref_kf_tracked = n_inl
             if self.kf_inserted_cb is not None:
                 new_map = self.kf_inserted_cb(kf_slot)
                 if new_map is not None:
                     self.map = new_map
+            # nRefMatches for the weak-tracking KF test: reference-KF map
+            # points with >= minObs observations (Tracking.cc:1427-1436),
+            # refreshed once per insertion (one scalar sync per KF).
+            # _n_kf is POST-insertion; the reference's nKFs<=2 test is
+            # pre-insertion, hence the shifted threshold.
+            min_obs = 3 if _n_kf > 3 else 2
+            self.ref_kf_tracked = int(ms.kf_tracked_points(
+                self.map, jnp.asarray(kf_slot, jnp.int32),
+                jnp.asarray(min_obs, jnp.int32)))
+            self._tstate_dirty = True
 
     def _process_ok_fused(self, fr: frame_mod.FrameData):
         cfg = self.cfg
@@ -701,18 +733,18 @@ class Tracker:
             self.velocity, tstate, fr, self.calib, cfg, fid)
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
         self._record()
-        self._pending = {
-            "scalars": scalars,
-            "frame_id": self.frame_id,
-            "traj_idx": len(self.trajectory) - 1,
-        }
+        self._push_pending(scalars)
         self.frame_id += 1
         return self.state
 
     def process_frame(self, fr: frame_mod.FrameData,
                       timestamp: float | None = None):
         cfg = self.cfg
-        self._resolve_pending()
+        if self.pipelined and self.state == TrackState.OK:
+            self._drain_pending(keep=self.pipeline_depth - 1)
+        if self.state != TrackState.OK:
+            self._resolve_pending()  # settle all in-flight work before
+                                     # init/LOST handling
         self._ts = timestamp if timestamp is not None else self.frame_id / 30.0
         fid = jnp.asarray(self.frame_id, jnp.int32)
         if self.state == TrackState.NOT_INITIALIZED:
@@ -728,7 +760,9 @@ class Tracker:
                 self.prev_Tcw = self.Tcw
                 self.last_kf_frame = self.frame_id
                 self.last_kf_slot = 0
-                self.ref_kf_tracked = int(jnp.sum(frame_mp >= 0))
+                self.ref_kf_tracked = int(ms.kf_tracked_points(
+                    self.map, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(2, jnp.int32)))
                 self._tstate_dirty = True
             self._record()
             self.frame_id += 1
@@ -807,21 +841,21 @@ class Tracker:
         # need close points: few tracked close + enough untracked candidates
         # (the reference's bNeedToInsertClose, Tracking.cc:1477)
         need_close = (n_close_tracked < 100 and n_close_untracked > 70)
-        weak_tracking = n_inl < 0.9 * max(self.ref_kf_tracked, 1)
+        weak_tracking = n_inl < cfg.kf_ref_ratio * max(self.ref_kf_tracked, 1)
         need_kf = (
-            not self.only_tracking
+            not self.only_tracking and n_inl > 15
             and (since_kf >= cfg.max_frames_kf
                  or (since_kf >= cfg.min_frames_kf
                      and (weak_tracking or need_close)))
         )
-        if need_kf and int(self.map.n_kf) < cfg.max_kf - 1:
+        n_kf_now = int(self.map.n_kf)
+        if need_kf and n_kf_now < cfg.max_kf - 1:
             self.map, kf_mp = insert_keyframe_jit(
                 self.map, fr, Tcw, frame_mp, self.calib, cfg, fid
             )
             self.last_kf_frame = self.frame_id
             self.last_kf_slot = int(jnp.argmax(
                 jnp.where(self.map.kf_valid, self.map.kf_frame_id, -1)))
-            self.ref_kf_tracked = n_inl
             self._tstate_dirty = True
             frame_mp = kf_mp
             if self.kf_inserted_cb is not None:
@@ -830,6 +864,11 @@ class Tracker:
                 new_map = self.kf_inserted_cb(self.last_kf_slot)
                 if new_map is not None:
                     self.map = new_map
+            # nRefMatches (TrackedMapPoints >= minObs) for the weak test
+            min_obs = 3 if n_kf_now > 2 else 2
+            self.ref_kf_tracked = int(ms.kf_tracked_points(
+                self.map, jnp.asarray(self.last_kf_slot, jnp.int32),
+                jnp.asarray(min_obs, jnp.int32)))
 
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, Tcw
         self._record()

@@ -98,37 +98,64 @@ def fuse_into_kf(
     ), n_merged
 
 
+@partial(jax.jit, static_argnums=(3,))
+def fuse_into_kfs(
+    state: ms.MapState,
+    src_mask: jnp.ndarray,     # [M] candidate map points to project
+    kf_slots: jnp.ndarray,     # [Kc] int32 target slots; pad with K-1
+    cfg: SlamConfig,
+    calib: cam_mod.CameraParams,
+):
+    """Fuse masked points into a BATCH of keyframes in one dispatch.
+
+    lax.scan over the slot batch keeps the sequential merge semantics of
+    per-KF fusion (later targets see earlier merges) while costing one
+    device round trip instead of Kc.  Padding entries use the reserved
+    dummy slot K-1, whose features are never valid — a guaranteed no-op.
+    Used by loop closing to fuse loop landmarks across the WHOLE corrected
+    neighborhood (reference SearchAndFuse, src/LoopClosing.cc:824-856).
+    """
+
+    def step(st, slot):
+        st2, n = fuse_into_kf(st, src_mask, slot, cfg, calib)
+        return st2, n
+
+    state, ns = jax.lax.scan(step, state, kf_slots)
+    return state, jnp.sum(ns)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
 def fuse_neighbors(
     state: ms.MapState, kf_slot, calib: cam_mod.CameraParams, cfg: SlamConfig,
     n_neighbors: int = 5,
 ):
-    """Two-direction fusion with the top covisible neighbors (host loop).
+    """Two-direction fusion with the top covisible neighbors — ONE dispatch.
 
     Reference SearchInNeighbors: current KF's points into neighbors, then
     neighbors' points into the current KF (src/LocalMapping.cc:700-792).
+    Neighbor top-k and both directions run on device (round-1 pulled the
+    covisibility row to host and dispatched per neighbor); empty ranks map
+    to the reserved no-op dummy slot K-1.
     """
     M = cfg.max_mp
+    K = state.kf_mp.shape[0]
     W = ms.covisibility(state)
-    w_row = jax.device_get(W[kf_slot])
-    order = (-w_row).argsort()[:n_neighbors]
-    neighbors = [int(k) for k in order if w_row[k] > 0]
+    w, nbrs = jax.lax.top_k(W[kf_slot], n_neighbors)
+    ok = w > 0
+    slots = jnp.where(ok, nbrs, K - 1).astype(jnp.int32)
+    kf_slot = jnp.asarray(kf_slot, jnp.int32)
 
-    total = 0
-    # direction 1: this KF's points into each neighbor
+    # direction 1: this KF's points into each neighbor (sequential scan —
+    # later fuses see earlier merges, like the reference's serial loop)
     own = state.kf_mp[kf_slot].reshape(-1)
-    own_mask = jnp.zeros(M, bool).at[jnp.where(own >= 0, own, M - 1)].max(own >= 0)
-    for kn in neighbors:
-        state, n = fuse_into_kf(
-            state, own_mask, jnp.asarray(kn, jnp.int32), cfg, calib)
-        total += int(n)
+    own_mask = jnp.zeros(M, bool).at[
+        jnp.where(own >= 0, own, M - 1)].max(own >= 0)
+    state, n1 = fuse_into_kfs(state, own_mask, slots, cfg, calib)
+
     # direction 2: neighbors' points into this KF
-    if neighbors:
-        neigh_mask = jnp.zeros(M, bool)
-        for kn in neighbors:
-            row = state.kf_mp[kn].reshape(-1)
-            neigh_mask = neigh_mask.at[
-                jnp.where(row >= 0, row, M - 1)].max(row >= 0)
-        state, n = fuse_into_kf(
-            state, neigh_mask, jnp.asarray(kf_slot, jnp.int32), cfg, calib)
-        total += int(n)
-    return state, total
+    rows = state.kf_mp[slots].reshape(n_neighbors, -1)  # dummy rows all -1
+    rows_ok = (rows >= 0) & ok[:, None]
+    neigh_mask = jnp.zeros(M, bool).at[
+        jnp.where(rows_ok, rows, M - 1).reshape(-1)].max(rows_ok.reshape(-1))
+    state, n2 = fuse_into_kf(state, neigh_mask, kf_slot, cfg, calib)
+    return state, n1 + n2

@@ -71,6 +71,10 @@ class MapState(NamedTuple):
     n_kf: jnp.ndarray          # [] int32 number of valid keyframes
     n_mp: jnp.ndarray          # [] int32 number of valid map points
     next_kf_id: jnp.ndarray    # [] int32 monotonic keyframe id counter
+    n_alloc_failed: jnp.ndarray  # [] int32 map-point slot requests refused
+                               # because the map was full (capacity telemetry
+                               # — the reference grows unboundedly, Map.cc:32;
+                               # a fixed-capacity design must surface this)
 
 
 def make_empty(max_kf: int, n_cams: int, max_feat: int, max_mp: int) -> MapState:
@@ -104,6 +108,7 @@ def make_empty(max_kf: int, n_cams: int, max_feat: int, max_mp: int) -> MapState
         n_kf=jnp.asarray(0, jnp.int32),
         n_mp=jnp.asarray(0, jnp.int32),
         next_kf_id=jnp.asarray(0, jnp.int32),
+        n_alloc_failed=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -267,3 +272,65 @@ def predict_scale(
     ratio = jnp.maximum(max_dist, 1e-6) / jnp.maximum(dist, 1e-6)
     lvl = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor)).astype(jnp.int32)
     return jnp.clip(lvl, 0, n_levels - 1)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def relieve_capacity(state: MapState, target_free: int) -> MapState:
+    """Evict the weakest map points until >= target_free slots are free.
+
+    Graceful-degradation path for slot exhaustion: the reference's map
+    grows without bound (src/Map.cc:32-134); a fixed-capacity SoA map must
+    instead shed load.  Eviction priority is the tracking quality ratio
+    found/visible (the same signal MapPointCulling keys on,
+    LocalMapping.cc:243), with points observed by the NEWEST keyframes
+    protected so the active local map is never thinned.
+    """
+    M = state.mp_pos.shape[0]
+    K = state.kf_mp.shape[0]
+    # protect points observed by the 12 most recent keyframes
+    n_recent = min(12, K)
+    fid = jnp.where(state.kf_valid, state.kf_frame_id, -1)
+    _, recent = jax.lax.top_k(fid, n_recent)
+    obs = state.kf_mp[recent].reshape(n_recent, -1)
+    ok = (obs >= 0) & state.kf_valid[recent][:, None]
+    protected = jnp.zeros(M, bool).at[
+        jnp.where(ok, obs, M - 1).reshape(-1)].max(ok.reshape(-1))
+
+    ratio = state.mp_found.astype(jnp.float32) / jnp.maximum(
+        state.mp_visible.astype(jnp.float32), 1.0)
+    evictable = state.mp_valid & ~protected
+    n_free = jnp.sum((~state.mp_valid).astype(jnp.int32))
+    n_needed = jnp.maximum(target_free - n_free, 0)
+    # kill the n_needed lowest-ratio evictable points: rank by priority
+    prio = jnp.where(evictable, -ratio, -jnp.inf)   # higher = kill first
+    _, order = jax.lax.top_k(prio, min(target_free, M))
+    rank_ok = jnp.arange(order.shape[0]) < n_needed
+    kill_idx = jnp.where(rank_ok & evictable[order], order, M - 1)
+    kill = jnp.zeros(M, bool).at[kill_idx].max(rank_ok & evictable[order])
+    kill = kill.at[M - 1].set(False)
+    mp_valid = state.mp_valid & ~kill
+    killed_of = kill[jnp.clip(state.kf_mp, 0, M - 1)] & (state.kf_mp >= 0)
+    kf_mp = jnp.where(killed_of, -1, state.kf_mp)
+    n_killed = jnp.sum(kill.astype(jnp.int32))
+    return state._replace(
+        mp_valid=mp_valid, kf_mp=kf_mp, n_mp=state.n_mp - n_killed)
+
+
+@jax.jit
+def kf_tracked_points(state: MapState, kf_slot: jnp.ndarray,
+                      min_obs: jnp.ndarray) -> jnp.ndarray:
+    """Number of `kf_slot` map points with >= min_obs weighted observations.
+
+    Reference KeyFrame::TrackedMapPoints (src/KeyFrame.cc:396-430), the
+    `nRefMatches` quantity of NeedNewKeyFrame's weak-tracking test
+    (Tracking.cc:1436: mnMatchesInliers < nRefMatches*0.9).  Round-1 used
+    inliers-at-insertion instead, which over-triggers keyframe insertion
+    whenever inlier counts decay monotonically from a strong start.
+    """
+    M = state.mp_pos.shape[0]
+    w = mp_weighted_obs(state)
+    obs = state.kf_mp[kf_slot].reshape(-1)
+    ok = (obs >= 0) & state.kf_feat_valid[kf_slot].reshape(-1)
+    cnt = w[jnp.clip(obs, 0, M - 1)]
+    good = ok & state.mp_valid[jnp.clip(obs, 0, M - 1)] & (cnt >= min_obs)
+    return jnp.sum(good.astype(jnp.int32))

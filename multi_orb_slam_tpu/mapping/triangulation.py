@@ -174,6 +174,7 @@ def triangulate_pair(
 
     slots = ms.allocate_mp_slots(state.mp_valid, want)
     created = slots >= 0
+    n_failed = jnp.sum((want & ~created).astype(jnp.int32))
     cgrid = created.reshape(C, F)
     sgrid = slots.reshape(C, F)
     fbgrid = fb_all.reshape(C, F)
@@ -224,25 +225,33 @@ def triangulate_pair(
         mp_visible=state.mp_visible.at[tgt].set(jnp.where(put, 1, state.mp_visible[tgt])),
         mp_found=state.mp_found.at[tgt].set(jnp.where(put, 1, state.mp_found[tgt])),
         n_mp=state.n_mp + jnp.sum(created.astype(jnp.int32)),
+        n_alloc_failed=state.n_alloc_failed + n_failed,
     )
     return new_state, jnp.sum(created.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnums=(3, 4))
 def triangulate_new_points(
     state: ms.MapState, kf_slot, calib: cam_mod.CameraParams, cfg: SlamConfig,
     n_neighbors: int = 5,
 ):
-    """Triangulate against the top covisible neighbors (host loop)."""
+    """Triangulate against the top covisible neighbors — ONE dispatch.
+
+    The neighbor top-k runs on device and the per-pair triangulations are a
+    lax.scan, so the whole CreateNewMapPoints pass costs zero host round
+    trips (round-1 did a device_get of the covisibility row plus one
+    dispatch per neighbor).  Empty neighbor ranks map to the reserved dummy
+    keyframe slot K-1, whose features are never valid — a guaranteed no-op.
+    """
+    K = state.kf_mp.shape[0]
     W = ms.covisibility(state)
-    w_row = jax.device_get(W[kf_slot])
-    order = (-w_row).argsort()[:n_neighbors]
-    total = 0
-    for kn in order:
-        if w_row[kn] <= 0:
-            break
-        state, n = triangulate_pair(
-            state, jnp.asarray(kf_slot, jnp.int32), jnp.asarray(int(kn), jnp.int32),
-            cfg, calib,
-        )
-        total += int(n)
-    return state, total
+    w, nbrs = jax.lax.top_k(W[kf_slot], n_neighbors)
+    slots = jnp.where(w > 0, nbrs, K - 1).astype(jnp.int32)
+    kf_slot = jnp.asarray(kf_slot, jnp.int32)
+
+    def step(st, kn):
+        st2, n = triangulate_pair(st, kf_slot, kn, cfg, calib)
+        return st2, n
+
+    state, ns = jax.lax.scan(step, state, slots)
+    return state, jnp.sum(ns)

@@ -88,6 +88,61 @@ def solve_ba(
     delta_m = jnp.sqrt(CHI2_MONO)
     delta_s = jnp.sqrt(CHI2_STEREO)
 
+    # Inverse observation map: for each (KF, camera) row and point, the
+    # feature index observing it (-1 none).  The observation layout is
+    # constant through every LM iteration, so ONE scatter here turns every
+    # in-loop point-block accumulation (H_pp, b_p, W_cp) into pure GATHERS
+    # — TPU scatters at this size cost ~4-5 ms each regardless of sorting,
+    # and the round-1 formulation paid for three per iteration (~335
+    # ms/solve on a v5e; ~gathers are two orders cheaper).  Requires at
+    # most one observation of a point per (KF, camera) row — guaranteed by
+    # build_local_problem's dedupe pass, matching the reference's one-idx-
+    # per-KF observation map (src/MapPoint.cc:138-150).
+    LC = L * C
+    pidx_rows = jnp.where(obs_valid, obs_mp, P).reshape(LC, F)
+    _rows = jnp.arange(LC)[:, None]
+    inv_lc = jnp.full((LC, P + 1), -1, jnp.int32).at[
+        _rows, pidx_rows].set(
+        jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32), (LC, F)))[:, :P]
+    has_inv = inv_lc >= 0                       # [LC, P]
+    ginv = jnp.clip(inv_lc, 0, F - 1)
+
+    def point_sums(vals_n, trailing_shape):
+        """Sum observation values into per-point bins via gathers.
+
+        vals_n: [N, ...]; returns ([P, ...] summed over all rows,
+        [LC, P, ...] per-row gathered values, masked)."""
+        v = vals_n.reshape((LC, F) + trailing_shape)
+        g = jnp.take_along_axis(
+            v, ginv.reshape((LC, P) + (1,) * len(trailing_shape)), axis=1)
+        mask = has_inv.reshape((LC, P) + (1,) * len(trailing_shape))
+        g = g * mask
+        return jnp.sum(g, axis=0), g
+
+    def inv3(H):
+        """Batched closed-form 3x3 inverse (adjugate/det) — avoids the
+        sequential LU path of linalg.inv on [P, 3, 3] blocks."""
+        a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+        d, e_, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+        g, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+        A = e_ * i - f * h
+        B = c * h - b * i
+        Cc = b * f - c * e_
+        D = f * g - d * i
+        E = a * i - c * g
+        Ff = c * d - a * f
+        G = d * h - e_ * g
+        Hh = b * g - a * h
+        I = a * e_ - b * d
+        det = a * A + b * D + c * G
+        det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+        adj = jnp.stack([
+            jnp.stack([A, B, Cc], -1),
+            jnp.stack([D, E, Ff], -1),
+            jnp.stack([G, Hh, I], -1),
+        ], -2)
+        return adj / det[..., None, None]
+
     def residual_state(kf_Tcw, mp_pos):
         Tcw_o = kf_Tcw[obs_kf]
         Xw_o = mp_pos[mp_idx]
@@ -117,21 +172,27 @@ def solve_ba(
             free_o = prob.kf_free[obs_kf]
             Jc_eff = Jc * free_o[:, None, None].astype(dtype)
 
-            # H_cc blocks [L, 6, 6] and rhs
+            # H_cc blocks [L, 6, 6] and rhs: the KF index is the structured
+            # leading axis of the [L, C, F] layout — a plain einsum over the
+            # per-KF block, NO scatter
             JTc = Jc_eff * Wr[:, :, None]      # weighted rows
-            Hcc = jnp.zeros((L, 6, 6), dtype).at[obs_kf].add(
-                jnp.einsum("nri,nrj->nij", JTc, Jc_eff))
-            bc = jnp.zeros((L, 6), dtype).at[obs_kf].add(
-                jnp.einsum("nri,nr->ni", JTc, e))
-            # H_pp blocks [P, 3, 3] and rhs
+            CF = C * F
+            Hcc = jnp.einsum(
+                "lnri,lnrj->lij", JTc.reshape(L, CF, 3, 6),
+                Jc_eff.reshape(L, CF, 3, 6))
+            bc = jnp.einsum(
+                "lnri,lnr->li", JTc.reshape(L, CF, 3, 6), e.reshape(L, CF, 3))
+            # H_pp blocks [P, 3, 3] and rhs: gathers via the inverse map
             JTp = Jp * Wr[:, :, None]
-            Hpp = jnp.zeros((P, 3, 3), dtype).at[mp_idx].add(
-                jnp.einsum("nri,nrj->nij", JTp, Jp))
-            bp = jnp.zeros((P, 3), dtype).at[mp_idx].add(
-                jnp.einsum("nri,nr->ni", JTp, e))
-            # W_cp [P, L, 6, 3]
-            Wcp = jnp.zeros((P, L, 6, 3), dtype).at[mp_idx, obs_kf].add(
-                jnp.einsum("nri,nrj->nij", JTc, Jp))
+            Hpp, _ = point_sums(
+                jnp.einsum("nri,nrj->nij", JTp, Jp), (3, 3))
+            bp, _ = point_sums(jnp.einsum("nri,nr->ni", JTp, e), (3,))
+            # W_cp [P, L, 6, 3]: per-(KF,cam) gathered blocks, summed over
+            # the camera axis (each LC row belongs to one KF)
+            _, wcp_g = point_sums(
+                jnp.einsum("nri,nrj->nij", JTc, Jp), (6, 3))
+            Wcp = jnp.sum(wcp_g.reshape(L, C, P, 6, 3), axis=1)
+            Wcp = Wcp.transpose(1, 0, 2, 3)     # [P, L, 6, 3]
 
             # Multiplicative LM damping: scales with each block, keeping the
             # f32 condition number bounded (absolute damping NaNs XLA's
@@ -150,7 +211,7 @@ def solve_ba(
             Hpp_d = damp(Hpp, eye3) + jnp.where(
                 prob.mp_valid, 0.0, 1.0
             )[:, None, None] * eye3
-            Hpp_inv = jnp.linalg.inv(Hpp_d)
+            Hpp_inv = inv3(Hpp_d)
 
             # Schur: S = blockdiag(Hcc) - sum_p Y_p W_p^T  (dense [L*6, L*6])
             Y = jnp.einsum("plij,pjk->plik", Wcp, Hpp_inv)     # [P, L, 6, 3]

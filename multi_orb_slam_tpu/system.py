@@ -46,6 +46,7 @@ class System:
         enable_mapping: bool = True,
         enable_loop_closing: bool = True,
         pipelined: bool = False,
+        pipeline_depth: int = 1,
     ):
         n_cams = 2 if sensor == Sensor.DUAL_RGBD else 1
         if calib is None or cfg is None:
@@ -74,7 +75,8 @@ class System:
         self.sensor = sensor
         self.enable_mapping = enable_mapping
         self.enable_loop_closing = enable_loop_closing
-        self.tracker = tracking.Tracker(calib, cfg, pipelined=pipelined)
+        self.tracker = tracking.Tracker(calib, cfg, pipelined=pipelined,
+                                        pipeline_depth=pipeline_depth)
         self.loop_closer = None
         if enable_loop_closing:
             from .loop import loop_closing
