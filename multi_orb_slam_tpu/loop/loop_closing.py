@@ -48,7 +48,8 @@ VOCAB_MIN_DESCS = 6000
 class LoopCloser:
     def __init__(self, calib: cam_mod.CameraParams, cfg: SlamConfig,
                  run_gba: bool = True, vocab_k: int = 10, vocab_depth: int = 3,
-                 vocab_min_descs: int = VOCAB_MIN_DESCS):
+                 vocab_min_descs: int = VOCAB_MIN_DESCS,
+                 vocab_path: str | None = None):
         self.calib = calib
         self.cfg = cfg
         self.run_gba = run_gba
@@ -57,6 +58,12 @@ class LoopCloser:
         self.vocab_min_descs = vocab_min_descs
         self.voc: vocab_mod.Vocabulary | None = None
         self.db: db_mod.KeyFrameDB | None = None
+        if vocab_path:
+            # pre-trained DBoW2 text vocabulary (the reference's ORBvoc.txt
+            # pathway, src/System.cc:79-87) — any size up to 10^6 words;
+            # the sparse database scales independently of n_words
+            self.voc = vocab_mod.load_dbow2_text(vocab_path)
+            self.db = db_mod.make_empty_db(cfg.max_kf, self.voc.n_words)
         self._train_descs = []
         self.last_loop_kf = -DETECT_GAP
         self.consistent_groups = []  # [(set_of_kfs, count)]
@@ -118,14 +125,12 @@ class LoopCloser:
         neighbors = np.nonzero(W[kf_slot] >= 15.0)[0]
         q_desc = state.kf_desc[kf_slot][0]
         q_valid = state.kf_feat_valid[kf_slot][0]
-        q = vocab_mod.bow_vector(self.voc, q_desc, q_valid)
-        min_score = 1.0
-        for nkf in neighbors:
-            if bool(self.db.has_bow[nkf]):
-                sc = float(vocab_mod.score_l1(self.db.bow_cam0[nkf], q))
-                min_score = min(min_score, sc)
-        if not len(neighbors):
-            min_score = 0.3
+        q_ids, q_vals = vocab_mod.bow_sparse(
+            self.voc, q_desc, q_valid, budget=self.db.ids_cam0.shape[1])
+        scores = np.asarray(db_mod.score_query_cam0(self.db, q_ids, q_vals))
+        has = np.asarray(self.db.has_bow)
+        nb = [n for n in neighbors if has[n]]
+        min_score = float(scores[nb].min()) if nb else 0.3
         cands = db_mod.detect_loop_candidates(
             self.db, state, kf_slot, max(min_score, 0.0))
         if not cands:
@@ -203,12 +208,82 @@ class LoopCloser:
             )
             if int(n_inl) < MIN_INLIERS_SIM3:
                 continue
-            # guided total-match count: project all loop-KF-neighborhood
-            # points through g_ab into kf_a and count agreeing landmarks
-            total = int(n_inl) + self._guided_matches(state, kf_a, kf_b, g_ab)
+            # guided match-producing search (SearchBySim3,
+            # ORBmatcher.cc:2814) + gated Sim3 LM (OptimizeSim3,
+            # Optimizer.cc:1704): new correspondences feed the refinement,
+            # acceptance needs >= 20 LM inliers (LoopClosing.cc:455-461)
+            g_ref, n_lm = self._refine_sim3(
+                state, kf_a, kf_b, g_ab,
+                ia[:n], bi_np[ia[:n]], np.asarray(inl)[:n])
+            if n_lm < MIN_INLIERS_SIM3:
+                continue
+            g_ab = g_ref
+            # total-match gate: project the loop-KF-neighborhood points
+            # through g_ab into kf_a and count agreeing landmarks
+            # (SearchByProjection over loop-connected points + the >= 40
+            # gate, LoopClosing.cc:478-529)
+            total = n_lm + self._guided_matches(state, kf_a, kf_b, g_ab)
             if total >= MIN_TOTAL_MATCHES:
                 return kf_b, g_ab, total
         return None
+
+    def _refine_sim3(self, state, kf_a: int, kf_b: int, g_ab,
+                     ia: np.ndarray, ib: np.ndarray, ransac_inl: np.ndarray):
+        """SearchBySim3 guided matches + gated Sim3-pair LM.
+
+        `ia`/`ib` are the brute-match feature pairs (a-feature -> b-feature)
+        that seeded RANSAC; `ransac_inl` their inlier mask.  Returns
+        (g_refined [8], n_inliers int).
+        """
+        from ..optim import sim3_opt
+
+        cfg = self.cfg
+        guided = np.asarray(sim3_solver.search_by_sim3(
+            state, jnp.asarray(kf_a), jnp.asarray(kf_b), g_ab,
+            self.calib.K[0], cfg.max_mp, cfg.scale_factor, cfg.n_levels))
+        # union: RANSAC-inlier seed pairs take precedence (the reference
+        # leaves existing vpMatches12 entries untouched, ORBmatcher.cc:2875)
+        pair_of_a = guided.copy()                      # [F] a-feat -> b-feat
+        seed_a = ia[ransac_inl]
+        seed_b = ib[ransac_inl]
+        pair_of_a[seed_a] = seed_b
+        ja = np.nonzero(pair_of_a >= 0)[0]
+        jb = pair_of_a[ja]
+
+        mp_a = np.asarray(state.kf_mp[kf_a][0])
+        mp_b = np.asarray(state.kf_mp[kf_b][0])
+        pw = np.asarray(state.mp_pos)
+        Ta = np.asarray(state.kf_Tcw[kf_a])
+        Tb = np.asarray(state.kf_Tcw[kf_b])
+        X_a = pw[mp_a[ja]] @ Ta[:3, :3].T + Ta[:3, 3]
+        X_b = pw[mp_b[jb]] @ Tb[:3, :3].T + Tb[:3, 3]
+        uv_a = np.asarray(state.kf_xy_und[kf_a][0])[ja]
+        uv_b = np.asarray(state.kf_xy_und[kf_b][0])[jb]
+        sf2 = np.asarray(
+            [cfg.scale_factor ** (2.0 * l) for l in range(cfg.n_levels)],
+            np.float32)
+        is2_a = 1.0 / sf2[np.asarray(state.kf_level[kf_a][0])[ja]]
+        is2_b = 1.0 / sf2[np.asarray(state.kf_level[kf_b][0])[jb]]
+
+        capn = 512
+        n = min(len(ja), capn)
+        pad = capn - n
+
+        def padf(x, d):
+            x = np.asarray(x[:n], np.float32)
+            return np.concatenate([x, np.zeros((pad,) + x.shape[1:],
+                                               np.float32)]) if pad else x
+
+        obs = sim3_opt.Sim3Obs(
+            X_a=jnp.asarray(padf(X_a, 3)), X_b=jnp.asarray(padf(X_b, 3)),
+            uv_a=jnp.asarray(padf(uv_a, 2)), uv_b=jnp.asarray(padf(uv_b, 2)),
+            inv_sigma2_a=jnp.asarray(padf(is2_a, 1)),
+            inv_sigma2_b=jnp.asarray(padf(is2_b, 1)),
+            mask=jnp.asarray(np.arange(capn) < n),
+        )
+        g_ref, _, n_inl = sim3_opt.optimize_sim3(
+            g_ab, obs, self.calib.K[0], fix_scale=True)
+        return g_ref, int(n_inl)
 
     def _guided_matches(self, state, kf_a, kf_b, g_ab) -> int:
         """SearchByProjection_cam1-style count of additional agreements."""
@@ -282,14 +357,17 @@ class LoopCloser:
             kf_Tcw = kf_Tcw.at[k].set(sim3.to_se3(jnp.asarray(g_corr[k])))
         state = state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos)
 
-        # fuse loop landmarks into the corrected neighborhood
+        # fuse loop landmarks into the FULL corrected neighborhood in one
+        # dispatch (reference SearchAndFuse, LoopClosing.cc:824-856)
         mp_b = state.kf_mp[kf_b].reshape(-1)
         loop_mask = jnp.zeros(M, bool).at[
             jnp.where(mp_b >= 0, mp_b, M - 1)].max(mp_b >= 0)
-        for k in corrected_slots[:5]:
-            state, _ = fusion.fuse_into_kf(
-                state, loop_mask, jnp.asarray(k, jnp.int32), self.cfg,
-                self.calib)
+        fuse_cap = 32  # fixed batch: one compiled shape for any loop size
+        slots = np.full(fuse_cap, K - 1, np.int32)
+        slots[:min(len(corrected_slots), fuse_cap)] = \
+            corrected_slots[:fuse_cap]
+        state, _ = fusion.fuse_into_kfs(
+            state, loop_mask, jnp.asarray(slots), self.cfg, self.calib)
 
         # essential-graph optimization
         self.loop_pairs.append((kf_a, kf_b))

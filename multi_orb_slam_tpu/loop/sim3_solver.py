@@ -16,7 +16,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..geometry import align, camera as cam_mod, sim3
+from ..geometry import align, camera as cam_mod, se3, sim3
+from ..mapping import map_state as ms
+from ..ops import hamming
 
 
 @partial(jax.jit, static_argnums=(8, 9, 10))
@@ -96,3 +98,107 @@ def solve_sim3_ransac(
     g_out = jnp.where(better, g_ref, g_best)
     inl_out = jnp.where(better, inl2, inl_best)
     return g_out, inl_out, jnp.maximum(n2, n_inl[best])
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def search_by_sim3(
+    state: "ms.MapState",
+    kf_a: jnp.ndarray,       # scalar int32 keyframe slot
+    kf_b: jnp.ndarray,
+    g_ab: jnp.ndarray,       # [8] Sim3 mapping b-rig -> a-rig
+    K0: jnp.ndarray,         # [4] camera-0 intrinsics
+    max_mp: int,
+    scale_factor: float,
+    n_levels: int,
+    th: float = 7.5,
+):
+    """Match-producing guided search between two keyframes under a Sim3.
+
+    Replaces `ORBmatcher::SearchBySim3[_cam1]` (src/ORBmatcher.cc:2814-3135):
+    project each keyframe's landmarks into the other through g_ab, gate by a
+    scale-predicted window and pyramid level, take the best Hamming match,
+    and keep mutually-agreeing pairs.  Both directions share ONE [F, F]
+    landmark-descriptor distance matrix; the direction-specific window masks
+    are the only asymmetry.
+
+    Returns match_ab [F] int32: for each feature of kf_a (with a landmark),
+    the matched feature index of kf_b, or -1.
+    """
+    F = state.kf_mp.shape[2]
+    M = max_mp
+    sf = jnp.asarray([scale_factor ** l for l in range(n_levels)],
+                     jnp.float32)
+
+    mpa = state.kf_mp[kf_a][0]
+    mpb = state.kf_mp[kf_b][0]
+    va = (mpa >= 0) & state.kf_feat_valid[kf_a][0]
+    vb = (mpb >= 0) & state.kf_feat_valid[kf_b][0]
+    ga = jnp.clip(mpa, 0, M - 1)
+    gb = jnp.clip(mpb, 0, M - 1)
+    va = va & state.mp_valid[ga]
+    vb = vb & state.mp_valid[gb]
+
+    Ta = state.kf_Tcw[kf_a]
+    Tb = state.kf_Tcw[kf_b]
+    Xa = se3.transform_points(Ta, state.mp_pos[ga])   # a landmarks, a-rig
+    Xb = se3.transform_points(Tb, state.mp_pos[gb])   # b landmarks, b-rig
+    Xb_in_a = sim3.apply(g_ab, Xb)
+    Xa_in_b = sim3.apply(sim3.inverse(g_ab), Xa)
+
+    def project(X):
+        z = jnp.maximum(X[:, 2], 1e-6)
+        uv = jnp.stack([K0[0] * X[:, 0] / z + K0[2],
+                        K0[1] * X[:, 1] / z + K0[3]], -1)
+        return uv, X[:, 2] > 0.05
+
+    uv_b_in_a, okz_ba = project(Xb_in_a)
+    uv_a_in_b, okz_ab = project(Xa_in_b)
+
+    # landmark descriptor distance matrix, shared by both directions:
+    # rows = a landmarks, cols = b landmarks
+    d = hamming.pairwise_hamming(state.mp_desc[ga], state.mp_desc[gb])
+
+    xy_a = state.kf_xy_und[kf_a][0]
+    xy_b = state.kf_xy_und[kf_b][0]
+    lvl_a = state.kf_level[kf_a][0]
+    lvl_b = state.kf_level[kf_b][0]
+
+    # direction b->a: b landmarks vs a features
+    dist_ba = jnp.linalg.norm(Xb_in_a, axis=-1)
+    lvl_ba = ms.predict_scale(dist_ba, state.mp_max_dist[gb],
+                              scale_factor, n_levels)
+    r_ba = th * sf[lvl_ba]
+    win_ba = (
+        (jnp.abs(uv_b_in_a[:, 0, None] - xy_a[None, :, 0]) < r_ba[:, None])
+        & (jnp.abs(uv_b_in_a[:, 1, None] - xy_a[None, :, 1]) < r_ba[:, None])
+        & (lvl_a[None, :] >= lvl_ba[:, None] - 1)
+        & (lvl_a[None, :] <= lvl_ba[:, None])
+        & (vb & okz_ba)[:, None] & va[None, :]
+    )  # [F_b, F_a]
+    d_ba = jnp.where(win_ba, d.T, hamming.BIG)
+    best_a_of_b = jnp.argmin(d_ba, axis=1)               # [F_b] -> a index
+    bd_ba = jnp.min(d_ba, axis=1)
+    ok_ba = bd_ba <= hamming.TH_HIGH
+
+    # direction a->b: a landmarks vs b features
+    dist_ab = jnp.linalg.norm(Xa_in_b, axis=-1)
+    lvl_ab = ms.predict_scale(dist_ab, state.mp_max_dist[ga],
+                              scale_factor, n_levels)
+    r_ab = th * sf[lvl_ab]
+    win_ab = (
+        (jnp.abs(uv_a_in_b[:, 0, None] - xy_b[None, :, 0]) < r_ab[:, None])
+        & (jnp.abs(uv_a_in_b[:, 1, None] - xy_b[None, :, 1]) < r_ab[:, None])
+        & (lvl_b[None, :] >= lvl_ab[:, None] - 1)
+        & (lvl_b[None, :] <= lvl_ab[:, None])
+        & (va & okz_ab)[:, None] & vb[None, :]
+    )  # [F_a, F_b]
+    d_ab = jnp.where(win_ab, d, hamming.BIG)
+    best_b_of_a = jnp.argmin(d_ab, axis=1)               # [F_a] -> b index
+    bd_ab = jnp.min(d_ab, axis=1)
+    ok_ab = bd_ab <= hamming.TH_HIGH
+
+    # mutual agreement (reference: vnMatch1[i1]==i2 && vnMatch2[i2]==i1)
+    ja = jnp.arange(F)
+    jb = best_b_of_a
+    agree = ok_ab & ok_ba[jb] & (best_a_of_b[jb] == ja)
+    return jnp.where(agree, jb, -1)

@@ -1,8 +1,12 @@
-"""Keyframe database: BoW store + loop / relocalization candidate detection.
+"""Keyframe database: sparse BoW store + loop / reloc candidate detection.
 
-Replaces `KeyFrameDatabase` (src/KeyFrameDatabase.cc): the inverted-file
-share-word counting + scoring pipeline becomes dense linear algebra over a
-[K, n_words] BoW matrix — one matvec scores a query against every keyframe.
+Replaces `KeyFrameDatabase` (src/KeyFrameDatabase.cc).  The reference's
+inverted file maps word -> keyframe list; the round-1 design stored a dense
+[K, n_words] matrix, which cannot scale to DBoW2's 10^4-10^6-word
+vocabularies.  This store keeps each keyframe's BoW SPARSE — word ids +
+tf-idf values, at most one per feature, a lossless [K, F] representation —
+and scores a query against every keyframe with one scatter + gather + row
+reduction (`vocabulary.score_sparse_many`), independent of vocabulary size.
 
 The reference keeps two inverted files (all-camera and cam1-only,
 include/KeyFrameDatabase.h:68-69) and its loop path only ever uses the
@@ -23,16 +27,24 @@ from . import vocabulary as vocab_mod
 
 
 class KeyFrameDB(NamedTuple):
-    bow_cam0: jnp.ndarray    # [K, W] camera-0 BoW per keyframe slot
-    bow_all: jnp.ndarray     # [K, W] all-camera BoW
+    ids_cam0: jnp.ndarray    # [K, F] int32 word ids (-1 pad), camera 0
+    vals_cam0: jnp.ndarray   # [K, F] float32 tf-idf values (L1-normalized)
+    ids_all: jnp.ndarray     # [K, C*F] all-camera word ids
+    vals_all: jnp.ndarray    # [K, C*F]
     has_bow: jnp.ndarray     # [K] bool
+    n_words: int
 
 
-def make_empty_db(max_kf: int, n_words: int) -> KeyFrameDB:
+def make_empty_db(max_kf: int, n_words: int,
+                  budget_cam0: int = 2048, budget_all: int = 4096
+                  ) -> KeyFrameDB:
     return KeyFrameDB(
-        bow_cam0=jnp.zeros((max_kf, n_words), jnp.float32),
-        bow_all=jnp.zeros((max_kf, n_words), jnp.float32),
+        ids_cam0=jnp.full((max_kf, budget_cam0), -1, jnp.int32),
+        vals_cam0=jnp.zeros((max_kf, budget_cam0), jnp.float32),
+        ids_all=jnp.full((max_kf, budget_all), -1, jnp.int32),
+        vals_all=jnp.zeros((max_kf, budget_all), jnp.float32),
         has_bow=jnp.zeros(max_kf, bool),
+        n_words=n_words,
     )
 
 
@@ -42,18 +54,28 @@ def add_keyframe(
     """KeyFrameDatabase::add / add_cam1 (KeyFrameDatabase.cc:43-58)."""
     desc = state.kf_desc[kf_slot]          # [C, F, 8]
     valid = state.kf_feat_valid[kf_slot]
-    v0 = vocab_mod.bow_vector(voc, desc[0], valid[0])
-    va = vocab_mod.bow_vector(
-        voc, desc.reshape(-1, 8), valid.reshape(-1))
-    return KeyFrameDB(
-        bow_cam0=db.bow_cam0.at[kf_slot].set(v0),
-        bow_all=db.bow_all.at[kf_slot].set(va),
+    B0 = db.ids_cam0.shape[1]
+    BA = db.ids_all.shape[1]
+    i0, v0 = vocab_mod.bow_sparse(voc, desc[0], valid[0], budget=B0)
+    ia, va = vocab_mod.bow_sparse(
+        voc, desc.reshape(-1, 8), valid.reshape(-1), budget=BA)
+    return db._replace(
+        ids_cam0=db.ids_cam0.at[kf_slot].set(i0),
+        vals_cam0=db.vals_cam0.at[kf_slot].set(v0),
+        ids_all=db.ids_all.at[kf_slot].set(ia),
+        vals_all=db.vals_all.at[kf_slot].set(va),
         has_bow=db.has_bow.at[kf_slot].set(True),
     )
 
 
 def remove_keyframe(db: KeyFrameDB, kf_slot) -> KeyFrameDB:
     return db._replace(has_bow=db.has_bow.at[kf_slot].set(False))
+
+
+def score_query_cam0(db: KeyFrameDB, q_ids, q_vals) -> jnp.ndarray:
+    """L1 score of one sparse query against every keyframe's cam-0 BoW."""
+    return vocab_mod.score_sparse_many(
+        q_ids, q_vals, db.ids_cam0, db.vals_cam0, db.n_words)
 
 
 def detect_loop_candidates(
@@ -72,10 +94,9 @@ def detect_loop_candidates(
     covisibility group, threshold.
     Host-side (returns python list of slots): runs once per keyframe.
     """
-    q = db.bow_cam0[query_kf]
-    scores = np.asarray(db.bow_cam0 @ q)  # [K] L2-ish... use L1 pair score
-    # L1 score needs |a-b|; do it exactly for the shortlist below
-    K = scores.shape[0]
+    l1 = np.asarray(score_query_cam0(
+        db, db.ids_cam0[query_kf], db.vals_cam0[query_kf]))
+    K = l1.shape[0]
     has = np.asarray(db.has_bow & state.kf_valid).copy()
     has[query_kf] = False
     # exclude covisibility-connected keyframes (weight >= 15)
@@ -84,8 +105,6 @@ def detect_loop_candidates(
     cand_mask = has & ~connected
     if not cand_mask.any():
         return []
-    # exact L1 scores for masked candidates
-    l1 = np.asarray(vocab_mod.score_l1(db.bow_cam0, q))
     l1 = np.where(cand_mask, l1, -1.0)
     ok = l1 >= min_score
     if not ok.any():
@@ -119,8 +138,10 @@ def detect_relocalization_candidates(
     """DetectRelocalizationCandidates (KeyFrameDatabase.cc:415-543):
     same scheme as loop candidates but scored against a frame and without
     the min-score/connected-KF gates."""
-    q = vocab_mod.bow_vector(voc, frame_desc_cam0, frame_valid_cam0)
-    l1 = np.asarray(vocab_mod.score_l1(db.bow_cam0, q))
+    q_ids, q_vals = vocab_mod.bow_sparse(
+        voc, frame_desc_cam0, frame_valid_cam0,
+        budget=db.ids_cam0.shape[1])
+    l1 = np.asarray(score_query_cam0(db, q_ids, q_vals))
     has = np.asarray(db.has_bow & state.kf_valid)
     l1 = np.where(has, l1, -1.0)
     order = np.argsort(-l1)[:n_candidates]

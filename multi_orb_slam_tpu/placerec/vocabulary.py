@@ -158,3 +158,112 @@ def score_l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     s = 1 - 0.5 * |va - vb|_1 for L1-normalized va, vb.
     Broadcasts: a [..., W], b [..., W]."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)
+
+
+def bow_sparse(voc: Vocabulary, descs: jnp.ndarray, valid: jnp.ndarray,
+               budget: int | None = None):
+    """[F, 8] descriptors (+mask) -> sparse L1-normalized tf-idf vector.
+
+    Returns (word ids [B] int32 with -1 padding, values [B] float32).
+    A frame has at most F distinct words, so a [B = F] budget is lossless —
+    this is what lets the database scale to DBoW2's 10^6-word vocabularies
+    without any [K, n_words] dense store.  Built with a sort + segment-sum
+    (no [n_words]-sized intermediate).
+    """
+    F = descs.shape[0]
+    B = budget or F
+    words = transform_words(voc, descs)
+    w = jnp.where(valid, voc.word_weight[words], 0.0)
+    key = jnp.where(valid, words, jnp.int32(1 << 30))
+    order = jnp.argsort(key)
+    sw = key[order]
+    sv = w[order]
+    # segment sums over runs of equal word id
+    csum = jnp.cumsum(sv)
+    last = jnp.concatenate([sw[1:] != sw[:-1], jnp.ones(1, bool)])
+    # compact: gather run ends in order (padding indices repeat the final
+    # run end, whose differenced value is exactly 0 — harmless)
+    idx_end = jnp.nonzero(last, size=F, fill_value=F - 1)[0]
+    run_word = sw[idx_end]
+    ends = csum[idx_end]
+    starts = jnp.concatenate([jnp.zeros(1, ends.dtype), ends[:-1]])
+    run_val = ends - starts
+    ok = run_word < (1 << 30)
+    total = jnp.sum(jnp.where(ok, run_val, 0.0))
+    run_val = jnp.where(ok, run_val / jnp.maximum(total, 1e-9), 0.0)
+    ids = jnp.where(ok, run_word, -1)
+    if B > F:
+        ids = jnp.concatenate([ids, jnp.full(B - F, -1, ids.dtype)])
+        run_val = jnp.concatenate([run_val, jnp.zeros(B - F, run_val.dtype)])
+    return ids[:B].astype(jnp.int32), run_val[:B].astype(jnp.float32)
+
+
+def score_sparse_many(q_ids, q_vals, db_ids, db_vals, n_words: int):
+    """L1 score of one sparse query against a [K, B] sparse database.
+
+    For L1-normalized non-negative vectors,
+      1 - 0.5*|a-b|_1  =  0.5 * sum_shared (a_i + b_i - |a_i - b_i|),
+    so only shared words contribute: scatter the query dense once
+    ([n_words] floats — a few MB even at 10^6 words), gather it at every
+    stored word id, reduce per row.  Replaces the inverted-file walk of
+    KeyFrameDatabase with one gather + row-sum.
+    """
+    qd = jnp.zeros(n_words + 1, q_vals.dtype).at[
+        jnp.where(q_ids >= 0, q_ids, n_words)].add(
+            jnp.where(q_ids >= 0, q_vals, 0.0))
+    ok = db_ids >= 0
+    qg = qd[jnp.where(ok, db_ids, n_words)]
+    v = jnp.where(ok, db_vals, 0.0)
+    contrib = qg + v - jnp.abs(qg - v)
+    return 0.5 * jnp.sum(jnp.where(ok, contrib, 0.0), axis=-1)
+
+
+def load_dbow2_text(path: str) -> Vocabulary:
+    """Load a DBoW2 text-format vocabulary (ORBvoc.txt).
+
+    Parses the exact format of TemplatedVocabulary::loadFromTextFile
+    (reference Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1339-1421):
+    header "k L scoring weighting", then one BFS-ordered node line
+    "parent is_leaf d0..d31 weight".  This makes any vocabulary usable by
+    the reference binary (including its shipped 1M-word ORBvoc.txt) usable
+    here, and vice versa (tools/make_ref_vocab.py emits the same format).
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        k, depth = int(header[0]), int(header[1])
+        parents, leaves, descs, weights = [], [], [], []
+        for line in f:
+            v = line.split()
+            if len(v) < 35:
+                continue
+            parents.append(int(v[0]))
+            leaves.append(int(v[1]))
+            descs.append([int(x) for x in v[2:34]])
+            weights.append(float(v[34]))
+    n = len(parents)
+    parents_np = np.asarray(parents, np.int64)
+    # text file omits the root: node ids are 1-based relative to the file
+    children = np.full((n + 1, k), -1, np.int32)
+    node_desc = np.zeros((n + 1, 8), np.uint32)
+    word_id = np.full(n + 1, -1, np.int32)
+    child_count = np.zeros(n + 1, np.int32)
+    w_leaf = []
+    next_word = 0
+    for i in range(n):
+        nid = i + 1
+        p = parents_np[i]
+        children[p, child_count[p]] = nid
+        child_count[p] += 1
+        node_desc[nid] = np.packbits(
+            np.unpackbits(np.asarray(descs[i], np.uint8))).view(np.uint32)
+        if leaves[i]:
+            word_id[nid] = next_word
+            w_leaf.append(weights[i])
+            next_word += 1
+    return Vocabulary(
+        children=jnp.asarray(children),
+        node_desc=jnp.asarray(node_desc),
+        word_id=jnp.asarray(word_id),
+        word_weight=jnp.asarray(np.asarray(w_leaf, np.float32)),
+        k=k, depth=depth, n_words=next_word,
+    )

@@ -31,8 +31,9 @@ def corridor_frames(nf=64, noise=0.003, seed=0):
     pts[:, 1] = rng.uniform(-2, 2, n)
     pts[:, 2] = 3.0
     world = synthetic.World(
-        pts, rng.uniform(30, 235, (n, 2, 2)).astype(np.float32),
-        rng.uniform(0.02, 0.06, n).astype(np.float32))
+        pts, rng.uniform(30, 235, (n, 3, 3)).astype(np.float32),
+        rng.uniform(0.02, 0.06, n).astype(np.float32),
+        np.full(n, 2, np.int32), np.full(n, 3.0, np.float32))
     K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
     poses = synthetic.out_and_back_trajectory(nf, extent=5.0)
     frames = []
