@@ -22,6 +22,8 @@ class World(NamedTuple):
     points: np.ndarray      # [N, 3] float32 world positions
     intensity: np.ndarray   # [N, 2, 2] float32 quadrant intensities [0, 255]
     size: np.ndarray        # [N] float32 physical half-size (meters)
+    plane_axis: np.ndarray  # [N] int32 wall normal axis (0/1/2)
+    plane_val: np.ndarray   # [N] float32 wall plane coordinate on that axis
 
 
 def make_box_world(
@@ -33,7 +35,7 @@ def make_box_world(
     rng = np.random.RandomState(seed)
     bx, by, bz = box
     n_per_wall = n_points // 6
-    pts = []
+    pts, axes, vals = [], [], []
     for axis, sign in [(0, -1), (0, 1), (1, -1), (1, 1), (2, -1), (2, 1)]:
         p = rng.uniform(-0.5, 0.5, size=(n_per_wall, 3))
         p[:, 0] *= bx
@@ -41,13 +43,21 @@ def make_box_world(
         p[:, 2] *= bz
         p[:, axis] = sign * (box[axis] / 2.0)
         pts.append(p)
+        axes.append(np.full(n_per_wall, axis, np.int32))
+        vals.append(np.full(n_per_wall, sign * (box[axis] / 2.0), np.float32))
     points = np.concatenate(pts, axis=0).astype(np.float32)
     n = points.shape[0]
-    # per-square 2x2 quadrant intensities: locally distinctive texture so
-    # BRIEF descriptors can disambiguate repeated structure
-    intensity = rng.uniform(30.0, 235.0, size=(n, 2, 2)).astype(np.float32)
+    # per-square 3x3 cell intensities: locally distinctive texture so BRIEF
+    # descriptors can disambiguate repeated structure.  2x2 quadrants are
+    # NOT enough: a steered-BRIEF descriptor of a 4-intensity square mostly
+    # encodes the intensity ORDERING (24 classes over thousands of squares),
+    # and the resulting aliasing corrupts wide-baseline association
+    # (epipolar triangulation, fusion) even though frame-to-frame tracking
+    # looks healthy.  9 cells give ~9! orderings plus sub-cell geometry.
+    intensity = rng.uniform(20.0, 245.0, size=(n, 3, 3)).astype(np.float32)
     size = rng.uniform(0.02, 0.06, size=n).astype(np.float32)
-    return World(points, intensity, size)
+    return World(points, intensity, size,
+                 np.concatenate(axes), np.concatenate(vals))
 
 
 def render_rgbd(
@@ -91,6 +101,21 @@ def render_rgbd(
     vis &= (u > -max_half_px) & (u < width + max_half_px)
     vis &= (v > -max_half_px) & (v < height + max_half_px)
 
+    # per-pixel plane depth precomputation: for a square on wall plane
+    # axis=a, value=pv, the depth along the ray of pixel (x, y) is
+    # t = (pv - o[a]) / d_w[a] with d_w = Rwc @ ((x-cx)/fx, (y-cy)/fy, 1)
+    # and camera-frame depth = t (the cam-frame ray has z = 1).  Without
+    # this, oblique walls carry a constant depth per square — up to ~6 cm
+    # of structured depth error that poisons map points at 45 deg walls.
+    Rwc = R.T
+    o = -Rwc @ t
+    xs = (np.arange(width, dtype=np.float32) - cx) / fx
+    ys = (np.arange(height, dtype=np.float32) - cy) / fy
+    # d_w[a] over the pixel grid, per axis: Rwc[a,0]*xs + Rwc[a,1]*ys + Rwc[a,2]
+    dwa = (Rwc[:, 0][:, None, None] * xs[None, None, :]
+           + Rwc[:, 1][:, None, None] * ys[None, :, None]
+           + Rwc[:, 2][:, None, None])          # [3, H, W]
+
     order = np.argsort(-z)  # far first
     gray = np.full((height, width), background, np.float32)
     depth = np.zeros((height, width), np.float32)
@@ -99,25 +124,35 @@ def render_rgbd(
     zi = z[order]
     hi = half[order]
     ii = world.intensity[order]
+    ax_o = world.plane_axis[order]
+    pv_o = world.plane_val[order]
     msk = vis[order]
     for idx in np.nonzero(msk)[0]:
         h = int(hi[idx])
         xc_ = int(round(ui[idx]))
         yc_ = int(round(vi[idx]))
         quads = ii[idx]
-        # draw four quadrant blocks (2-tone texture -> distinctive BRIEF)
-        for qy in range(2):
-            for qx in range(2):
-                x0 = xc_ - h + qx * h
-                x1 = x0 + h + (1 if qx == 1 else 0)
-                y0 = yc_ - h + qy * h
-                y1 = y0 + h + (1 if qy == 1 else 0)
+        a = int(ax_o[idx])
+        num = pv_o[idx] - o[a]
+        # draw QxQ cell blocks (multi-tone texture -> distinctive BRIEF)
+        Q = quads.shape[0]
+        side = 2 * h
+        for qy in range(Q):
+            for qx in range(Q):
+                x0 = xc_ - h + (qx * side) // Q
+                x1 = xc_ - h + ((qx + 1) * side) // Q + (1 if qx == Q - 1 else 0)
+                y0 = yc_ - h + (qy * side) // Q
+                y1 = yc_ - h + ((qy + 1) * side) // Q + (1 if qy == Q - 1 else 0)
                 x0c, x1c = max(x0, 0), min(x1, width)
                 y0c, y1c = max(y0, 0), min(y1, height)
                 if x0c >= x1c or y0c >= y1c:
                     continue
                 gray[y0c:y1c, x0c:x1c] = quads[qy, qx]
-                depth[y0c:y1c, x0c:x1c] = zi[idx]
+                den = dwa[a, y0c:y1c, x0c:x1c]
+                tt = num / np.where(np.abs(den) > 1e-6, den,
+                                    np.sign(den) * 1e-6 + 1e-12)
+                depth[y0c:y1c, x0c:x1c] = np.where(
+                    tt > 0.0, tt, zi[idx]).astype(np.float32)
     return gray, depth
 
 
@@ -175,6 +210,43 @@ def out_and_back_trajectory(
     return poses
 
 
+def circuit_trajectory(
+    n_frames: int,
+    radius: float = 2.5,
+    laps: float = 1.3,
+    height_amp: float = 0.05,
+) -> np.ndarray:
+    """Full circular circuit facing outward: true loop topology.
+
+    The camera walks a circle looking at the surrounding walls; every view
+    direction eventually leaves the field of view (long occlusion), and on
+    re-entering the starting arc the map is only reachable through place
+    recognition — unlike `out_and_back_trajectory`, where the tracker
+    re-associates through the covisibility graph and no loop event should
+    fire.  `laps` > 1 revisits the starting arc long enough for the
+    loop detector's temporal-consistency gate.  Returns [n, 4, 4] Tcw.
+    """
+    poses = np.zeros((n_frames, 4, 4), np.float32)
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        phi = 2.0 * np.pi * laps * s
+        c, snp = np.cos(phi), np.sin(phi)
+        center = np.array([radius * snp,
+                           height_amp * np.sin(6.0 * np.pi * s),
+                           -radius * c], np.float32)
+        # camera +z looks radially outward; +x along the travel tangent
+        z_cam = np.array([snp, 0.0, -c], np.float32)
+        x_cam = np.array([-c, 0.0, -snp], np.float32)
+        y_cam = np.cross(z_cam, x_cam)
+        Rwc = np.stack([x_cam, y_cam, z_cam], axis=1).astype(np.float32)
+        Rcw = Rwc.T
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rcw
+        T[:3, 3] = -Rcw @ center
+        poses[i] = T
+    return poses
+
+
 class SyntheticSequence(NamedTuple):
     grays: list          # per frame: [C, H, W] float32
     depths: list         # per frame: [C, H, W] float32
@@ -191,15 +263,18 @@ def make_sequence(
     seed: int = 0,
     n_points: int = 3000,
     trajectory: str = "orbit",
+    box: tuple[float, float, float] = (6.0, 4.0, 6.0),
 ) -> SyntheticSequence:
     """Render a full (optionally multi-camera) RGB-D sequence with GT poses."""
     if K is None:
         K = np.array([520.9, 521.0, width / 2.0, height / 2.0], np.float32)
     if T_rc is None:
         T_rc = np.eye(4, dtype=np.float32)[None]
-    world = make_box_world(seed=seed, n_points=n_points)
+    world = make_box_world(seed=seed, n_points=n_points, box=box)
     if trajectory == "out_and_back":
         poses = out_and_back_trajectory(n_frames)
+    elif trajectory == "circuit":
+        poses = circuit_trajectory(n_frames)
     else:
         poses = orbit_trajectory(n_frames, seed=seed + 1)
     grays, depths = [], []
