@@ -147,6 +147,10 @@ def insert_keyframe_impl(
     n_failed = jnp.sum((want & ~created).astype(jnp.int32))
     new_mp_grid = jnp.where(created, slots, -1).reshape(C, F)
     kf_mp_new = jnp.where(frame_mp >= 0, frame_mp, new_mp_grid)
+    # fusion forward-pointers can map two frame features onto one landmark;
+    # a keyframe keeps one observation per landmark per camera (the
+    # reference's per-KF observation map, src/MapPoint.cc:138-150)
+    kf_mp_new = ms.dedupe_obs_rows(kf_mp_new)
 
     # rig camera centers for normals / scale ranges
     centers = []
@@ -704,20 +708,19 @@ class Tracker:
         if inserted:
             self.last_kf_frame = fid
             self.last_kf_slot = kf_slot
+            # weak-tracking reference count: inliers at insertion.  The
+            # reference uses TrackedMapPoints(>=minObs) here
+            # (ms.kf_tracked_points implements it), but our per-cell top-K
+            # redetection refinds only ~78% of even a 1-frame-old KF's
+            # points, so inl/TrackedMapPoints sits right AT any fixed
+            # ratio threshold and the cadence becomes all-or-nothing;
+            # inliers-at-insertion decays from 1.0 and crosses the ratio
+            # smoothly, reproducing the reference's effective cadence.
+            self.ref_kf_tracked = n_inl
             if self.kf_inserted_cb is not None:
                 new_map = self.kf_inserted_cb(kf_slot)
                 if new_map is not None:
                     self.map = new_map
-            # nRefMatches for the weak-tracking KF test: reference-KF map
-            # points with >= minObs observations (Tracking.cc:1427-1436),
-            # refreshed once per insertion (one scalar sync per KF).
-            # _n_kf is POST-insertion; the reference's nKFs<=2 test is
-            # pre-insertion, hence the shifted threshold.
-            min_obs = 3 if _n_kf > 3 else 2
-            self.ref_kf_tracked = int(ms.kf_tracked_points(
-                self.map, jnp.asarray(kf_slot, jnp.int32),
-                jnp.asarray(min_obs, jnp.int32)))
-            self._tstate_dirty = True
 
     def _process_ok_fused(self, fr: frame_mod.FrameData):
         cfg = self.cfg
@@ -760,9 +763,7 @@ class Tracker:
                 self.prev_Tcw = self.Tcw
                 self.last_kf_frame = self.frame_id
                 self.last_kf_slot = 0
-                self.ref_kf_tracked = int(ms.kf_tracked_points(
-                    self.map, jnp.asarray(0, jnp.int32),
-                    jnp.asarray(2, jnp.int32)))
+                self.ref_kf_tracked = int(jnp.sum(frame_mp >= 0))
                 self._tstate_dirty = True
             self._record()
             self.frame_id += 1
@@ -858,17 +859,13 @@ class Tracker:
                 jnp.where(self.map.kf_valid, self.map.kf_frame_id, -1)))
             self._tstate_dirty = True
             frame_mp = kf_mp
+            self.ref_kf_tracked = n_inl
             if self.kf_inserted_cb is not None:
                 # mapping stage hook: local BA / triangulation / culling;
                 # may transform the map (returns the new MapState or None)
                 new_map = self.kf_inserted_cb(self.last_kf_slot)
                 if new_map is not None:
                     self.map = new_map
-            # nRefMatches (TrackedMapPoints >= minObs) for the weak test
-            min_obs = 3 if n_kf_now > 2 else 2
-            self.ref_kf_tracked = int(ms.kf_tracked_points(
-                self.map, jnp.asarray(self.last_kf_slot, jnp.int32),
-                jnp.asarray(min_obs, jnp.int32)))
 
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, Tcw
         self._record()

@@ -47,14 +47,12 @@ def make_box_world(
         vals.append(np.full(n_per_wall, sign * (box[axis] / 2.0), np.float32))
     points = np.concatenate(pts, axis=0).astype(np.float32)
     n = points.shape[0]
-    # per-square 3x3 cell intensities: locally distinctive texture so BRIEF
-    # descriptors can disambiguate repeated structure.  2x2 quadrants are
-    # NOT enough: a steered-BRIEF descriptor of a 4-intensity square mostly
-    # encodes the intensity ORDERING (24 classes over thousands of squares),
-    # and the resulting aliasing corrupts wide-baseline association
-    # (epipolar triangulation, fusion) even though frame-to-frame tracking
-    # looks healthy.  9 cells give ~9! orderings plus sub-cell geometry.
-    intensity = rng.uniform(20.0, 245.0, size=(n, 3, 3)).astype(np.float32)
+    # per-square 2x2 quadrant intensities: locally distinctive texture so
+    # BRIEF descriptors can disambiguate repeated structure.  (3x3 cells
+    # were tried for extra descriptor entropy but the smaller cells blur
+    # into weak corners at fine square sizes and HALVE the match counts;
+    # the renderer itself supports any QxQ grid.)
+    intensity = rng.uniform(30.0, 235.0, size=(n, 2, 2)).astype(np.float32)
     size = rng.uniform(0.02, 0.06, size=n).astype(np.float32)
     return World(points, intensity, size,
                  np.concatenate(axes), np.concatenate(vals))

@@ -75,8 +75,15 @@ def fuse_into_kf(
     # increase the order key (DAG); 4 halvings cover depth 16
     for _ in range(4):
         replace = replace[replace]
-    # apply replacement over the whole observation store
-    kf_mp = jnp.where(kf_mp >= 0, replace[jnp.clip(kf_mp, 0, M - 1)], kf_mp)
+    # apply replacement over the whole observation store, then erase
+    # observations the remap made redundant: a (KF, camera) row must keep
+    # at most ONE feature per landmark, preferring the feature that already
+    # observed the winner over a remapped loser (MapPoint::Replace erases
+    # exactly these, src/MapPoint.cc:258-296 — keeping an arbitrary
+    # duplicate leaves wrong-pixel observations that drag points in BA)
+    kf_mp_new = jnp.where(kf_mp >= 0, replace[jnp.clip(kf_mp, 0, M - 1)],
+                          kf_mp)
+    kf_mp = ms.dedupe_obs_rows(kf_mp_new, prefer_keep=(kf_mp_new == kf_mp))
     # losers die; their found/visible counters roll into the final winner
     is_loser = replace != jnp.arange(M, dtype=jnp.int32)
     wfin = replace[lfl]

@@ -334,3 +334,32 @@ def kf_tracked_points(state: MapState, kf_slot: jnp.ndarray,
     cnt = w[jnp.clip(obs, 0, M - 1)]
     good = ok & state.mp_valid[jnp.clip(obs, 0, M - 1)] & (cnt >= min_obs)
     return jnp.sum(good.astype(jnp.int32))
+
+
+def dedupe_obs_rows(rows: jnp.ndarray,
+                    prefer_keep: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Keep at most one occurrence of each point id per [..., F] row.
+
+    Mirrors MapPoint::Replace (src/MapPoint.cc:258-296): when a fusion
+    merge would give a keyframe two features on the same landmark, the
+    reference ERASES the redundant feature's observation instead of
+    keeping both.  Among duplicates the entry with prefer_keep=True wins
+    (e.g. the feature that already observed the winner, rather than a
+    remapped loser) — keeping an arbitrary one risks keeping the
+    wrong-pixel observation, which then drags the landmark in BA.
+    """
+    F = rows.shape[-1]
+    flat = rows.reshape(-1, F)
+    if prefer_keep is None:
+        pk = jnp.ones_like(flat)
+    else:
+        pk = prefer_keep.reshape(-1, F).astype(jnp.int32)
+    key = flat * 2 + (1 - pk)          # preferred duplicates sort first
+    order = jnp.argsort(key, axis=1)
+    sv = jnp.take_along_axis(flat, order, axis=1)
+    dup_sorted = jnp.concatenate([
+        jnp.zeros((flat.shape[0], 1), bool),
+        (sv[:, 1:] == sv[:, :-1]) & (sv[:, 1:] >= 0)], axis=1)
+    r = jnp.arange(flat.shape[0])[:, None]
+    dup = jnp.zeros_like(dup_sorted).at[r, order].set(dup_sorted)
+    return jnp.where(dup.reshape(rows.shape), -1, rows)

@@ -173,13 +173,20 @@ def solve_ba(
             Jc_eff = Jc * free_o[:, None, None].astype(dtype)
 
             # H_cc blocks [L, 6, 6] and rhs: the KF index is the structured
-            # leading axis of the [L, C, F] layout — a plain einsum over the
-            # per-KF block, NO scatter
+            # leading axis of the [L, C, F] layout — a plain contraction
+            # over the per-KF block, NO scatter.  The contraction runs over
+            # the flattened (row, col) axis of 18 — [L, CF, 18] x same —
+            # and the true H comes from summing the three row-diagonal 6x6
+            # blocks of the [18, 18] result; this keeps the MXU fed
+            # (a direct "lnri,lnrj->lij" einsum lowers ~10x slower here).
             JTc = Jc_eff * Wr[:, :, None]      # weighted rows
             CF = C * F
-            Hcc = jnp.einsum(
-                "lnri,lnrj->lij", JTc.reshape(L, CF, 3, 6),
-                Jc_eff.reshape(L, CF, 3, 6))
+            A18 = JTc.reshape(L, CF, 18)
+            B18 = Jc_eff.reshape(L, CF, 18)
+            H18 = jax.lax.dot_general(
+                A18, B18, (((1,), (1,)), ((0,), (0,))))   # [L, 18, 18]
+            H18 = H18.reshape(L, 3, 6, 3, 6)
+            Hcc = H18[:, 0, :, 0, :] + H18[:, 1, :, 1, :] + H18[:, 2, :, 2, :]
             bc = jnp.einsum(
                 "lnri,lnr->li", JTc.reshape(L, CF, 3, 6), e.reshape(L, CF, 3))
             # H_pp blocks [P, 3, 3] and rhs: gathers via the inverse map

@@ -57,19 +57,27 @@ def reproj_residual(
         return e, None, None, is_stereo, pos_depth
 
     zero = jnp.zeros_like(fx)
-    A = jnp.stack(
-        [
-            jnp.stack([fx * invz, zero, -fx * x * invz2], -1),
-            jnp.stack([zero, fy * invz, -fy * y * invz2], -1),
-            jnp.stack([fx * invz, zero, -fx * x * invz2 + bfo * invz2], -1),
-        ],
-        axis=-2,
-    )  # [N, 3, 3] dproj/dXc
-    ARm = jnp.einsum("nij,njk->nik", A, Rm)
-    I3 = jnp.broadcast_to(jnp.eye(3, dtype=Xw.dtype), Xw.shape[:-1] + (3, 3))
-    G = jnp.concatenate([I3, -se3.hat(Xr)], axis=-1)  # [N, 3, 6]
-    J_pose = -jnp.einsum("nik,nkl->nil", ARm, G)
-    J_point = -jnp.einsum("nik,nkl->nil", ARm, R)
+    # A = dproj/dXc is sparse (row 2 = row 0 + bf*invz2 * e3), so ARm and
+    # the downstream products expand into pure broadcast arithmetic — the
+    # batched-tiny-matmul einsums this replaces lower poorly on TPU
+    # (padded MXU tiles), ~2x the whole residual pass.
+    r0 = (fx * invz)[:, None] * Rm[:, 0, :] \
+        - (fx * x * invz2)[:, None] * Rm[:, 2, :]
+    r1 = (fy * invz)[:, None] * Rm[:, 1, :] \
+        - (fy * y * invz2)[:, None] * Rm[:, 2, :]
+    r2 = r0 + (bfo * invz2)[:, None] * Rm[:, 2, :]
+    ARm = jnp.stack([r0, r1, r2], axis=-2)          # [N, 3, 3]
+    # ARm @ hat(Xr): M @ hat(v) columns are cross-structured combinations
+    vx, vy, vz = Xr[:, 0, None], Xr[:, 1, None], Xr[:, 2, None]
+    c0 = vz * ARm[:, :, 1] - vy * ARm[:, :, 2]
+    c1 = -vz * ARm[:, :, 0] + vx * ARm[:, :, 2]
+    c2 = vy * ARm[:, :, 0] - vx * ARm[:, :, 1]
+    ARm_hat = jnp.stack([c0, c1, c2], axis=-1)      # [N, 3, 3]
+    J_pose = jnp.concatenate([-ARm, ARm_hat], axis=-1)  # [N, 3, 6]
+    # ARm @ R as three broadcast row combinations
+    J_point = -(ARm[..., :, 0, None] * R[..., None, 0, :]
+                + ARm[..., :, 1, None] * R[..., None, 1, :]
+                + ARm[..., :, 2, None] * R[..., None, 2, :])
     return e, J_pose, J_point, is_stereo, pos_depth
 
 
