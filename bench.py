@@ -81,15 +81,15 @@ def main():
     grays, depths = load_frames(n_frames, K, T_rc, H, W)
 
     tracker = tracking.Tracker(calib, cfg, pipelined=True, pipeline_depth=3)
-    kf_times = []
+    n_kf_mapped = [0]
 
     def kf_cb(kf_slot):
-        t0 = time.perf_counter()
-        m = local_mapping.run_mapping_stage(
+        # async, like the reference's mapping thread: dispatch the mapping
+        # work and return the (device-future) map; the tracker's next step
+        # chains on it without a host sync
+        n_kf_mapped[0] += 1
+        return local_mapping.run_mapping_stage(
             tracker.map, kf_slot, tracker.frame_id, calib, cfg)
-        jax.block_until_ready(m.kf_Tcw)
-        kf_times.append(time.perf_counter() - t0)
-        return m
 
     tracker.kf_inserted_cb = kf_cb
 
@@ -107,7 +107,7 @@ def main():
         tracker.map, 0, tracker.frame_id, calib, cfg)
     jax.block_until_ready(_pre.kf_Tcw)
     del _pre
-    kf_times.clear()
+    n_kf_mapped[0] = 0
     jax.block_until_ready(tracker.Tcw)
 
     times = []
@@ -121,9 +121,20 @@ def main():
     total = time.perf_counter() - t_start
 
     # throughput over the steady-state segment, INCLUDING mapping stages
+    # (they dispatch asynchronously, but their device time is inside the
+    # measured wall-clock window because the final block waits everything)
     per_frame = total / (n_frames - warmup)
     median = float(np.median(times))
     fps = 1.0 / per_frame
+
+    # standalone per-KF mapping-stage latency, measured separately so the
+    # throughput path stays async
+    t0 = time.perf_counter()
+    _m = local_mapping.run_mapping_stage(
+        tracker.map, int(tracker.last_kf_slot), tracker.frame_id, calib, cfg)
+    jax.block_until_ready(_m.kf_Tcw)
+    mapping_ms = (time.perf_counter() - t0) * 1e3
+
     result = {
         "metric": "tracking_fps_dual_cam_640x480",
         "value": round(fps, 2),
@@ -131,9 +142,8 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
         "median_ms": round(median * 1e3, 2),
         "frames_measured": len(times),
-        "keyframes_mapped": len(kf_times),
-        "mapping_ms_per_kf": round(float(np.mean(kf_times)) * 1e3, 2)
-        if kf_times else None,
+        "keyframes_mapped": n_kf_mapped[0],
+        "mapping_ms_per_kf": round(mapping_ms, 2),
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))

@@ -162,13 +162,23 @@ class LoopCloser:
         for kf_b in candidates:
             if int(state.kf_frame_id[kf_b]) > fid_a - MIN_LOOP_AGE:
                 continue
-            # camera-0 brute-force matching between map-point features
+            # camera-0 word-gated matching between map-point features:
+            # candidate pairs share a vocabulary leaf, as in the
+            # reference's SearchByBoW (ORBmatcher.cc:206-388 iterates the
+            # shared FeatureVector nodes).  A brute [F, F] search with the
+            # 0.75 ratio test is NOT equivalent: on repetitive structure
+            # the global second-best is nearly as good as the best and the
+            # ratio kills almost every true match; within one word the
+            # competition is only same-appearance features.
             da = state.kf_desc[kf_a][0]
             db_ = state.kf_desc[kf_b][0]
             has_a = (state.kf_mp[kf_a][0] >= 0) & state.kf_feat_valid[kf_a][0]
             has_b = (state.kf_mp[kf_b][0] >= 0) & state.kf_feat_valid[kf_b][0]
+            wa = vocab_mod.transform_words(self.voc, da)
+            wb = vocab_mod.transform_words(self.voc, db_)
             d = hamming.pairwise_hamming(da, db_)
-            cand = has_a[:, None] & has_b[None, :]
+            cand = (has_a[:, None] & has_b[None, :]
+                    & (wa[:, None] == wb[None, :]))
             bi, bd, b2 = hamming.masked_argmin2(d, cand)
             ok = (bd <= hamming.TH_LOW) & (
                 bd.astype(jnp.float32) <= 0.75 * b2.astype(jnp.float32))

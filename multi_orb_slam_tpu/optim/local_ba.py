@@ -220,11 +220,32 @@ def solve_ba(
             )[:, None, None] * eye3
             Hpp_inv = inv3(Hpp_d)
 
-            # Schur: S = blockdiag(Hcc) - sum_p Y_p W_p^T  (dense [L*6, L*6])
-            Y = jnp.einsum("plij,pjk->plik", Wcp, Hpp_inv)     # [P, L, 6, 3]
-            Yr = Y.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
-            Wr_ = Wcp.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
-            S = -Yr.T @ Wr_                                     # [L6, L6]
+            # Schur: S = blockdiag(Hcc) - sum_p W_p Hpp_p^-1 W_p^T.  Factor
+            # Hpp^-1 = R R^T with a closed-form 3x3 Cholesky so the point
+            # sum becomes ONE [L6, P3] x [P3, L6] MXU matmul of Y' = W R
+            # with itself (the unfactored form needs a second batched-tiny
+            # matmul chain that lowers poorly).
+            l11 = jnp.sqrt(jnp.maximum(Hpp_inv[:, 0, 0], 1e-20))
+            l21 = Hpp_inv[:, 1, 0] / l11
+            l31 = Hpp_inv[:, 2, 0] / l11
+            l22 = jnp.sqrt(jnp.maximum(Hpp_inv[:, 1, 1] - l21 * l21, 1e-20))
+            l32 = (Hpp_inv[:, 2, 1] - l31 * l21) / l22
+            l33 = jnp.sqrt(jnp.maximum(
+                Hpp_inv[:, 2, 2] - l31 * l31 - l32 * l32, 1e-20))
+            # Y'[:, :, :, k] = W @ R[:, :, k] via broadcast columns
+            c0 = (Wcp[..., 0] * l11[:, None, None]
+                  + Wcp[..., 1] * l21[:, None, None]
+                  + Wcp[..., 2] * l31[:, None, None])
+            c1 = (Wcp[..., 1] * l22[:, None, None]
+                  + Wcp[..., 2] * l32[:, None, None])
+            c2 = Wcp[..., 2] * l33[:, None, None]
+            Yc = jnp.stack([c0, c1, c2], axis=-1)               # [P, L, 6, 3]
+            Yr = Yc.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
+            S = -Yr.T @ Yr                                      # [L6, L6]
+            Wr_flat = Wcp.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
+            # hb = Hpp^-1 bp per point (broadcast 3x3 * 3)
+            bp3 = bp.reshape(P, 3)
+            hb = jnp.einsum("pij,pj->pi", Hpp_inv, bp3)
             li = jnp.arange(L)
             S = S.reshape(L, 6, L, 6)
             S = S.at[li, :, li, :].add(Hcc_d)
@@ -233,14 +254,15 @@ def solve_ba(
             free6 = jnp.repeat(prob.kf_free, 6)
             S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
             S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
-            rhs = bc.reshape(L * 6) - Yr.T @ bp.reshape(P * 3)
+            # rhs_c = bc - sum_p W_p (Hpp^-1 bp)_p: one [L6, P3] matvec
+            rhs = bc.reshape(L * 6) - Wr_flat.T @ hb.reshape(P * 3)
             rhs = jnp.where(free6, rhs, 0.0)
 
             dxc = -jnp.linalg.solve(S, rhs)
             dxc = jnp.where(free6, dxc, 0.0).reshape(L, 6)
             # back-substitute points: dp = -Hpp^-1 (bp + W^T dxc)
-            WTdx = jnp.einsum("plij,li->pj", Wcp, dxc)
-            dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp.reshape(P, 3) + WTdx)
+            WTdx = (Wr_flat @ dxc.reshape(L * 6)).reshape(P, 3)
+            dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp3 + WTdx)
             dp = dp * prob.mp_valid[:, None]
 
             kf_new = jax.vmap(lambda d, T: se3.exp(d) @ T)(dxc, kf_Tcw)

@@ -1,0 +1,114 @@
+"""END-TO-END loop closure on tracked data (VERDICT round-1 item 3).
+
+A drift-injected corridor run: out 8 m along a textured wall, back, then a
+dwell at the start.  A smooth depth-scale ramp on the outbound leg induces
+real odometric drift; on the return the accumulated error exceeds the
+matching radius, so the tracker builds a parallel map and only place
+recognition can reconnect it — true loop topology (reference
+LoopClosing.cc:65-102).  The vocabulary is pre-trained on scene
+descriptors, the reference's own deployment model (it ships a pre-trained
+ORBvoc.txt; src/System.cc:79-87).
+
+Asserts the full chain fires — detection -> temporal consistency ->
+word-gated matching -> Sim3 RANSAC -> Sim3 LM -> correction + essential
+graph + GBA — and that the corrected trajectory beats the loop-disabled
+control.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multi_orb_slam_tpu import system as system_mod
+from multi_orb_slam_tpu.config import SlamConfig
+from multi_orb_slam_tpu.geometry import align, camera as cam_mod
+from multi_orb_slam_tpu.io import synthetic as syn
+from multi_orb_slam_tpu.ops import orb as orb_mod
+from multi_orb_slam_tpu.placerec import database as db_mod
+from multi_orb_slam_tpu.placerec import vocabulary as vocab_mod
+
+NF = 260
+H, W = 240, 320
+K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
+
+
+def make_cfg():
+    return SlamConfig(
+        n_cams=1, max_feat=512, width=W, height=H, max_frames_kf=12,
+        th_depth=4.0, local_cap=1024, ba_local_cap=2048,
+        orb=orb_mod.ORBConfig(n_features=512))
+
+
+@pytest.fixture(scope="module")
+def corridor():
+    rng = np.random.RandomState(0)
+    n = 9000
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = rng.uniform(-3, 11, n)
+    pts[:, 1] = rng.uniform(-2, 2, n)
+    pts[:, 2] = 3.0
+    world = syn.World(
+        pts, rng.uniform(20, 245, (n, 2, 2)).astype(np.float32),
+        rng.uniform(0.02, 0.06, n).astype(np.float32),
+        np.full(n, 2, np.int32), np.full(n, 3.0, np.float32))
+    poses = np.zeros((NF, 4, 4), np.float32)
+    for i in range(NF):
+        if i < 90:
+            x = 8.0 * i / 90.0
+        elif i < 170:
+            x = 8.0 * (170 - i) / 80.0
+        else:
+            x = 0.3 * abs(np.sin(2 * np.pi * (i - 170) / 50.0))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = -np.array([x, 0.02 * np.sin(0.3 * i), 0.0], np.float32)
+        poses[i] = T
+    frames = []
+    for i in range(NF):
+        g, d = syn.render_rgbd(world, K, poses[i], H, W)
+        if 20 <= i < 90:  # drift injection: smooth depth-scale ramp
+            t = (i - 20) / 70.0
+            d = d * (1.0 + 0.02 * np.sin(np.pi * t))
+        frames.append((g, d))
+    # pre-trained vocabulary from scene descriptors (k=10, depth=4)
+    cfg = make_cfg()
+    descs = []
+    for i in range(0, NF, 8):
+        f = orb_mod.extract_orb(jnp.asarray(frames[i][0]), cfg.orb)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = vocab_mod.build_vocabulary(
+        np.concatenate(descs), k=10, depth=4, iters=3)
+    return frames, poses, voc
+
+
+def run(frames, poses, voc, enable_loop):
+    cfg = make_cfg()
+    calib = cam_mod.CameraParams(
+        K=jnp.asarray(K)[None], dist=jnp.zeros((1, 5)),
+        T_rc=jnp.eye(4)[None], bf=jnp.asarray(20.0), width=W, height=H)
+    slam = system_mod.System(calib=calib, cfg=cfg,
+                             sensor=system_mod.Sensor.RGBD,
+                             enable_loop_closing=enable_loop)
+    if enable_loop:
+        slam.loop_closer.voc = voc
+        slam.loop_closer.db = db_mod.make_empty_db(cfg.max_kf, voc.n_words)
+    for g, d in frames:
+        slam.track_rgbd(g, d)
+    # trajectory through corrected reference-KF poses (the reference's
+    # SaveTrajectoryTUM semantics: loop corrections retro-apply through
+    # the per-frame relative poses, src/System.cc:353-411)
+    traj = slam.tracker.absolute_trajectory()
+    est = np.stack([np.linalg.inv(T)[:3, 3] for fid, ts, T, lost in traj])
+    gt = np.stack([np.linalg.inv(poses[min(fid, NF - 1)])[:3, 3]
+                   for fid, ts, T, lost in traj])
+    ate = float(align.ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+    n_loops = slam.loop_closer.n_loops_closed if enable_loop else 0
+    return ate, n_loops
+
+
+def test_drift_loop_closes_and_corrects(corridor):
+    frames, poses, voc = corridor
+    ate_loop, n_loops = run(frames, poses, voc, enable_loop=True)
+    ate_ctrl, _ = run(frames, poses, voc, enable_loop=False)
+    assert n_loops >= 1, "the loop-closing chain never fired"
+    # the corrected trajectory must beat the loop-disabled control
+    assert ate_loop < ate_ctrl, (ate_loop, ate_ctrl)
