@@ -51,23 +51,34 @@ def corridor():
         pts, rng.uniform(20, 245, (n, 2, 2)).astype(np.float32),
         rng.uniform(0.02, 0.06, n).astype(np.float32),
         np.full(n, 2, np.int32), np.full(n, 3.0, np.float32))
+    # dwell at the start (richly keyframed origin region), out 8 m, back,
+    # dwell again: the revisit then has same-viewpoint early keyframes to
+    # score against, so place recognition sees its full margin
     poses = np.zeros((NF, 4, 4), np.float32)
     for i in range(NF):
-        if i < 90:
-            x = 8.0 * i / 90.0
-        elif i < 170:
-            x = 8.0 * (170 - i) / 80.0
+        if i < 40:
+            x = 0.3 * abs(np.sin(2 * np.pi * i / 40.0))
+        elif i < 120:
+            x = 8.0 * (i - 40) / 80.0
+        elif i < 200:
+            x = 8.0 * (200 - i) / 80.0
         else:
-            x = 0.3 * abs(np.sin(2 * np.pi * (i - 170) / 50.0))
+            x = 0.3 * abs(np.sin(2 * np.pi * (i - 200) / 50.0))
         T = np.eye(4, dtype=np.float32)
         T[:3, 3] = -np.array([x, 0.02 * np.sin(0.3 * i), 0.0], np.float32)
         poses[i] = T
     frames = []
     for i in range(NF):
         g, d = syn.render_rgbd(world, K, poses[i], H, W)
-        if 20 <= i < 90:  # drift injection: smooth depth-scale ramp
-            t = (i - 20) / 70.0
-            d = d * (1.0 + 0.02 * np.sin(np.pi * t))
+        if 50 <= i < 120:  # drift injection: smooth depth-scale ramp on
+            # the outbound leg.  The peak must push the accumulated error
+            # past the coarsest local-map search window (~4 px * 1.2^7 at
+            # 3 m ~ 16 cm), or the tracker re-associates through the
+            # covisibility graph and no loop topology ever forms (the
+            # correct behavior for small drift — see
+            # test_loop_e2e.test_corridor_revisit)
+            t = (i - 50) / 70.0
+            d = d * (1.0 + 0.06 * np.sin(np.pi * t))
         frames.append((g, d))
     # pre-trained vocabulary from scene descriptors (k=10, depth=4)
     cfg = make_cfg()
