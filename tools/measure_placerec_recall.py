@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Loop-candidate recall/precision on a long multi-revisit sequence.
+
+VERDICT round-1 item 6's acceptance measurement: place recognition must be
+evaluated on a >= 500-frame sequence with a >= 10^4-word vocabulary and the
+sparse database.  The scenario is a corridor with two out-and-back cycles
+(three passes over the origin region); ground truth defines a revisit as a
+query keyframe within `--radius` meters of a keyframe >= 30 frames older.
+
+For every keyframe the tool queries `detect_loop_candidates` (the full
+reference pipeline: minScore gate, covisibility exclusion, group
+accumulation) and scores:
+  recall    = revisit KFs for which some candidate is spatially correct
+  precision = returned candidates that are spatially correct
+
+Run: [JAX_PLATFORMS=cpu] python tools/measure_placerec_recall.py [n_frames]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu" or True:
+    import jax
+    import jax.extend.backend
+    jax.config.update("jax_platforms", "cpu")
+    jax.extend.backend.clear_backends()
+
+import jax.numpy as jnp  # noqa: E402
+
+from multi_orb_slam_tpu import system as system_mod  # noqa: E402
+from multi_orb_slam_tpu.config import SlamConfig  # noqa: E402
+from multi_orb_slam_tpu.geometry import camera as cam_mod  # noqa: E402
+from multi_orb_slam_tpu.io import synthetic as syn  # noqa: E402
+from multi_orb_slam_tpu.mapping import map_state as ms  # noqa: E402
+from multi_orb_slam_tpu.ops import orb as orb_mod  # noqa: E402
+from multi_orb_slam_tpu.placerec import database as db_mod  # noqa: E402
+from multi_orb_slam_tpu.placerec import vocabulary as vocab_mod  # noqa: E402
+
+H, W = 240, 320
+K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
+
+
+def make_sequence(nf):
+    rng = np.random.RandomState(0)
+    n = 9000
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = rng.uniform(-3, 11, n)
+    pts[:, 1] = rng.uniform(-2, 2, n)
+    pts[:, 2] = 3.0
+    world = syn.World(
+        pts, rng.uniform(20, 245, (n, 2, 2)).astype(np.float32),
+        rng.uniform(0.02, 0.06, n).astype(np.float32),
+        np.full(n, 2, np.int32), np.full(n, 3.0, np.float32))
+    # two out-and-back cycles with smooth reversals: x = 8 sin^2(2*pi*s)
+    # (|sin| kinks at the zeros — an instantaneous velocity reversal that
+    # breaks any constant-velocity motion model, ours and the reference's)
+    poses = np.zeros((nf, 4, 4), np.float32)
+    for i in range(nf):
+        s = i / (nf - 1)
+        x = 8.0 * np.sin(2.0 * np.pi * s) ** 2
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = -np.array([x, 0.02 * np.sin(0.3 * i), 0.0], np.float32)
+        poses[i] = T
+    frames = [syn.render_rgbd(world, K, poses[i], H, W) for i in range(nf)]
+    return frames, poses
+
+
+def main():
+    nf = int(sys.argv[1]) if len(sys.argv) > 1 else 520
+    t0 = time.time()
+    frames, poses = make_sequence(nf)
+    print(f"rendered {nf} frames in {time.time()-t0:.0f}s", flush=True)
+
+    cfg = SlamConfig(n_cams=1, max_feat=512, width=W, height=H,
+                     max_frames_kf=12, th_depth=4.0, local_cap=1024,
+                     ba_local_cap=2048, orb=orb_mod.ORBConfig(n_features=512))
+    descs = []
+    for i in range(0, nf, 8):
+        f = orb_mod.extract_orb(jnp.asarray(frames[i][0]), cfg.orb)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    train = np.concatenate(descs)
+    voc = vocab_mod.build_vocabulary(train, k=10, depth=4, iters=3)
+    print(f"vocab: {voc.n_words} words from {len(train)} descriptors",
+          flush=True)
+    # a k=10 depth-4 tree: nominally 10^4 leaves, slightly fewer when
+    # shallow branches exhaust their descriptors early
+    assert voc.n_words >= 9_000, \
+        "vocabulary too small for the acceptance criterion"
+
+    calib = cam_mod.CameraParams(
+        K=jnp.asarray(K)[None], dist=jnp.zeros((1, 5)),
+        T_rc=jnp.eye(4)[None], bf=jnp.asarray(20.0), width=W, height=H)
+    slam = system_mod.System(calib=calib, cfg=cfg,
+                             sensor=system_mod.Sensor.RGBD,
+                             enable_loop_closing=True)
+    lc = slam.loop_closer
+    lc.voc = voc
+    lc.db = db_mod.make_empty_db(cfg.max_kf, voc.n_words)
+
+    events = []  # (query slot, fid, candidates)
+    orig = lc._detect
+
+    def spy(state, kf_slot):
+        out = orig(state, kf_slot)
+        events.append((int(kf_slot), int(state.kf_frame_id[kf_slot]),
+                       list(out)))
+        return out
+
+    lc._detect = spy
+    t0 = time.time()
+    for i, (g, d) in enumerate(frames):
+        slam.track_rgbd(g, d)
+        if i % 100 == 0:
+            print(f"f{i} st={slam.tracker.state} "
+                  f"kf={int(slam.tracker.map.n_kf)} "
+                  f"loops={lc.n_loops_closed} "
+                  f"({(time.time()-t0)/(i+1):.2f}s/f)", flush=True)
+
+    st = slam.tracker.map
+    kv = np.asarray(st.kf_valid)
+    fid = np.asarray(st.kf_frame_id)
+    # GT position of each keyframe comes from its source frame id
+    gt_pos = np.stack([np.linalg.inv(poses[min(f, nf - 1)])[:3, 3]
+                       if f >= 0 else np.full(3, 1e9) for f in fid])
+    radius = 1.0
+
+    n_rev = n_hit = n_cand = n_cand_ok = 0
+    for slot, qfid, cands in events:
+        if not kv[slot] or qfid < 0:
+            continue
+        qp = np.linalg.inv(poses[min(qfid, nf - 1)])[:3, 3]
+        # a revisit: some valid KF >= 30 frames older within radius
+        old = kv & (fid >= 0) & (fid <= qfid - 30)
+        near = old & (np.linalg.norm(gt_pos - qp, axis=-1) < radius)
+        if near.any():
+            n_rev += 1
+            correct = [c for c in cands if kv[c]
+                       and np.linalg.norm(gt_pos[c] - qp) < 2 * radius]
+            n_hit += bool(correct)
+        for c in cands:
+            n_cand += 1
+            n_cand_ok += (kv[c]
+                          and np.linalg.norm(gt_pos[c] - qp) < 2 * radius)
+
+    recall = n_hit / max(n_rev, 1)
+    precision = n_cand_ok / max(n_cand, 1)
+    print(f"revisit queries: {n_rev}  detected: {n_hit}  "
+          f"recall: {recall:.2f}")
+    print(f"candidates: {n_cand}  spatially correct: {n_cand_ok}  "
+          f"precision: {precision:.2f}")
+    print(f"loops closed: {lc.n_loops_closed}")
+
+
+if __name__ == "__main__":
+    main()
