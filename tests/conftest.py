@@ -37,3 +37,21 @@ if os.environ.get("PALLAS_AXON_POOL_IPS"):
 else:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the test process's compiler memory.
+
+    A full run compiles hundreds of distinct XLA programs in one process;
+    past ~70% of the suite the XLA CPU compiler has been observed to
+    SEGFAULT under the accumulated allocator pressure.  Dropping the
+    in-memory executable caches between modules keeps the process flat
+    (cross-module recompiles mostly hit the persistent disk cache).
+    """
+    yield
+    import jax
+    jax.clear_caches()
