@@ -25,6 +25,14 @@ class SlamConfig(NamedTuple):
     max_mp: int = 24576
     local_cap: int = 2048       # local-point batch for per-frame search
     ba_local_cap: int = 4096    # marginalized-point capacity in local BA
+    ba_free_kfs: int = 12       # local-BA window: optimized keyframes.  The
+                                # reference frees the FULL covisible set
+                                # (Optimizer.cc:936-1014, unbounded); a
+                                # fixed-shape window is the XLA tradeoff —
+                                # size it to the expected covisible-set size
+                                # of the deployment (12 covers the measured
+                                # sets of the benchmark sequences)
+    ba_fixed_kfs: int = 12      # local-BA window: fixed observer keyframes
     new_mp_per_cam: int = 192   # close points created per camera per KF
     width: int = 640
     height: int = 480

@@ -249,7 +249,8 @@ def run_mapping_stage(
     if do_fuse:
         state, _ = fusion.fuse_neighbors(state, kf_slot, calib, cfg)
     if do_ba and int(state.n_kf) > 2:
-        state = run_local_ba(state, kf_slot, calib, cfg)
+        state = run_local_ba(state, kf_slot, calib, cfg,
+                             n_free=cfg.ba_free_kfs, n_fixed=cfg.ba_fixed_kfs)
     if do_cull:
         state = cull_keyframes(state, jnp.asarray(kf_slot, jnp.int32), cfg)
     state = update_point_geometry(state, cfg)
@@ -272,7 +273,8 @@ def _mapping_stage_fused(
 
     # local BA under lax.cond: skipped until the map has >2 keyframes
     def do_ba_fn(st):
-        prob = build_local_problem(st, kf_slot, cfg)
+        prob = build_local_problem(st, kf_slot, cfg,
+                                   cfg.ba_free_kfs, cfg.ba_fixed_kfs)
         kf_Tcw, mp_pos, inlier = local_ba.solve_ba(
             prob, calib.T_rc, calib.K, calib.bf,
             phases=((3, True), (5, False)))
