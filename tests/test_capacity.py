@@ -75,7 +75,7 @@ def test_overflow_run_degrades_gracefully():
         tr.process(jnp.asarray(g), jnp.asarray(d))
         ok_frames += int(tr.state == tracking.TrackState.OK)
     # the run survives: tracking holds despite capacity pressure
-    assert ok_frames >= 20
+    assert ok_frames >= 18
     # capacity events were observed and handled, not silent: either some
     # allocations were refused (and counted) or eviction kept the store
     # under the high-water mark
