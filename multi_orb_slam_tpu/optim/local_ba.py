@@ -189,16 +189,23 @@ def solve_ba(
             Hcc = H18[:, 0, :, 0, :] + H18[:, 1, :, 1, :] + H18[:, 2, :, 2, :]
             bc = jnp.einsum(
                 "lnri,lnr->li", JTc.reshape(L, CF, 3, 6), e.reshape(L, CF, 3))
-            # H_pp blocks [P, 3, 3] and rhs: gathers via the inverse map
+            # point-block accumulations via ONE fused gather through the
+            # inverse map: H_pp (9) + b_p (3) + W_cp (18) floats per
+            # observation are concatenated, gathered once, and split —
+            # three separate [LC, P]-shaped gathers each pay the same
+            # latency floor
             JTp = Jp * Wr[:, :, None]
-            Hpp, _ = point_sums(
-                jnp.einsum("nri,nrj->nij", JTp, Jp), (3, 3))
-            bp, _ = point_sums(jnp.einsum("nri,nr->ni", JTp, e), (3,))
+            Vpp = jnp.einsum("nri,nrj->nij", JTp, Jp).reshape(N, 9)
+            Vbp = jnp.einsum("nri,nr->ni", JTp, e)
+            Vcp = jnp.einsum("nri,nrj->nij", JTc, Jp).reshape(N, 18)
+            Vall = jnp.concatenate([Vpp, Vbp, Vcp], axis=-1)    # [N, 30]
+            summed, gathered = point_sums(Vall, (30,))
+            Hpp = summed[:, :9].reshape(P, 3, 3)
+            bp = summed[:, 9:12]
             # W_cp [P, L, 6, 3]: per-(KF,cam) gathered blocks, summed over
             # the camera axis (each LC row belongs to one KF)
-            _, wcp_g = point_sums(
-                jnp.einsum("nri,nrj->nij", JTc, Jp), (6, 3))
-            Wcp = jnp.sum(wcp_g.reshape(L, C, P, 6, 3), axis=1)
+            Wcp = jnp.sum(
+                gathered[..., 12:].reshape(L, C, P, 6, 3), axis=1)
             Wcp = Wcp.transpose(1, 0, 2, 3)     # [P, L, 6, 3]
 
             # Multiplicative LM damping: scales with each block, keeping the

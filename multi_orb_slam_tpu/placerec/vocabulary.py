@@ -120,20 +120,44 @@ def build_vocabulary(
     return voc._replace(word_weight=jnp.asarray(idf))
 
 
-def transform_words(voc: Vocabulary, descs: jnp.ndarray) -> jnp.ndarray:
-    """Descend the tree: [N, 8] descriptors -> [N] word ids."""
+def transform_words(voc: Vocabulary, descs: jnp.ndarray,
+                    beam: int = 3) -> jnp.ndarray:
+    """Descend the tree: [N, 8] descriptors -> [N] word ids.
+
+    Beam search (default width 3) instead of DBoW2's greedy descent: a
+    descriptor near a decision boundary at an upper level otherwise lands
+    in an entirely different subtree under small appearance change, which
+    is the dominant failure mode of place recognition across revisits —
+    the beam keeps the candidate subtrees alive and picks the closest
+    LEAF centroid, a strictly better quantizer at ~beam x the (tiny)
+    transform cost.  beam=1 reproduces the reference's greedy descent.
+    """
     n = descs.shape[0]
-    node = jnp.zeros(n, jnp.int32)
+    k = voc.children.shape[1]
+    BIGD = jnp.int32(1 << 20)
+    nodes = jnp.zeros((n, beam), jnp.int32)       # beam of live nodes
+    # invalid beam slots point at node 0 with +inf distance
+    dist = jnp.full((n, beam), BIGD).at[:, 0].set(0)
     for _ in range(voc.depth):
-        ch = voc.children[node]                    # [N, k]
+        ch = voc.children[nodes]                   # [N, B, k]
         ch_safe = jnp.clip(ch, 0, voc.children.shape[0] - 1)
-        cd = voc.node_desc[ch_safe]                # [N, k, 8]
+        cd = voc.node_desc[ch_safe]                # [N, B, k, 8]
         d = jnp.sum(hamming.popcount32(
-            jnp.bitwise_xor(cd, descs[:, None, :])), axis=-1)
-        d = jnp.where(ch >= 0, d, 1 << 20)
-        best = jnp.argmin(d, axis=-1)
-        nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
-        node = jnp.where(nxt >= 0, nxt, node)  # stay if leaf reached early
+            jnp.bitwise_xor(cd, descs[:, None, None, :])), axis=-1)
+        # children of exhausted/invalid slots: carry the node itself (a
+        # leaf reached above this level keeps competing with its distance)
+        d = jnp.where((ch >= 0) & (dist[..., None] < BIGD), d, BIGD)
+        cand_nodes = jnp.where(ch >= 0, ch, nodes[..., None])
+        leaf_self = jnp.all(ch < 0, axis=-1) & (dist < BIGD)  # [N, B]
+        d_self = jnp.where(leaf_self, dist, BIGD)
+        flat_d = jnp.concatenate([d.reshape(n, beam * k), d_self], axis=1)
+        flat_n = jnp.concatenate(
+            [cand_nodes.reshape(n, beam * k), nodes], axis=1)
+        top_d, top_i = jax.lax.top_k(-flat_d, beam)
+        dist = -top_d
+        nodes = jnp.take_along_axis(flat_n, top_i, axis=1)
+    best = jnp.argmin(dist, axis=1)
+    node = jnp.take_along_axis(nodes, best[:, None], axis=1)[:, 0]
     w = voc.word_id[node]
     return jnp.where(w >= 0, w, 0)
 
