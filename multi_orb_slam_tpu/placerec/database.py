@@ -107,23 +107,35 @@ def detect_loop_candidates(
         return []
     l1 = np.where(cand_mask, l1, -1.0)
     ok = l1 >= min_score
-    if not ok.any():
-        return []
-    # accumulate over covisibility groups (top-10 covis of each candidate)
-    acc = np.full(K, -1.0, np.float32)
-    best_of_group = np.arange(K).copy()
-    for k in np.nonzero(ok)[0]:
-        group = np.argsort(-W[k])[:10]
-        group = group[W[k][group] > 0]
-        members = [k] + [g for g in group if ok[g]]
-        sc = sum(float(l1[m]) for m in members)
-        best = max(members, key=lambda m: l1[m])
-        acc[k] = sc
-        best_of_group[k] = best
-    best_acc = float(acc.max())
-    keep = acc >= 0.75 * best_acc
-    out = sorted({int(best_of_group[k]) for k in np.nonzero(keep)[0]},
-                 key=lambda k: -l1[k])
+    out = []
+    if ok.any():
+        # accumulate over covisibility groups (top-10 covis per candidate)
+        acc = np.full(K, -1.0, np.float32)
+        best_of_group = np.arange(K).copy()
+        for k in np.nonzero(ok)[0]:
+            group = np.argsort(-W[k])[:10]
+            group = group[W[k][group] > 0]
+            members = [k] + [g for g in group if ok[g]]
+            sc = sum(float(l1[m]) for m in members)
+            best = max(members, key=lambda m: l1[m])
+            acc[k] = sc
+            best_of_group[k] = best
+        best_acc = float(acc.max())
+        keep = acc >= 0.75 * best_acc
+        out = sorted({int(best_of_group[k]) for k in np.nonzero(keep)[0]},
+                     key=lambda k: -l1[k])
+    # always forward the top raw-score disconnected candidates as well:
+    # the reference's minScore pre-filter exists to bound the number of
+    # expensive per-candidate Sim3 verifications, but it also silently
+    # drops genuine revisits whose similarity sits just under the densest
+    # covisibility neighbor's (drifted viewpoints).  Our Sim3 verification
+    # is one batched RANSAC + LM per candidate — cheap — so the gate
+    # moves from score space to geometry space (>=20 LM inliers, >=40
+    # total matches, 3-KF temporal consistency still apply).  ORB-SLAM3
+    # made the same redesign for the same reason (common-regions
+    # detection without the minScore gate).
+    extra = [int(k) for k in np.argsort(-l1)[:2] if l1[k] > 0.0]
+    out = list(dict.fromkeys(out + extra))
     return out[:n_candidates]
 
 

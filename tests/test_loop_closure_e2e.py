@@ -67,18 +67,25 @@ def corridor():
         T = np.eye(4, dtype=np.float32)
         T[:3, 3] = -np.array([x, 0.02 * np.sin(0.3 * i), 0.0], np.float32)
         poses[i] = T
+    # drift injection: the WORLD shifts by delta at frame 115, when the
+    # origin region is far outside the field of view.  The tracker absorbs
+    # the inter-frame jump as apparent camera motion (it is well inside
+    # the coarse search windows), so the rest of the run carries an
+    # exactly-controlled, internally-consistent pose offset — real loop
+    # drift without the constraint conflicts a time-varying depth bias
+    # creates (old exact landmarks fighting new biased observations sends
+    # BA into meter-scale chaos).  The offset exceeds the matching radius
+    # at the revisit, so re-association cannot silently absorb it (which
+    # would be the correct no-loop outcome for small drift — see
+    # test_loop_e2e.test_corridor_revisit) and only place recognition can
+    # reconnect the map.
+    delta = np.array([0.22, 0.0, 0.09], np.float32)
+    world_shifted = world._replace(points=world.points + delta,
+                                   plane_val=world.plane_val + delta[2])
     frames = []
     for i in range(NF):
-        g, d = syn.render_rgbd(world, K, poses[i], H, W)
-        if 50 <= i < 120:  # drift injection: smooth depth-scale ramp on
-            # the outbound leg.  The peak must push the accumulated error
-            # past the coarsest local-map search window (~4 px * 1.2^7 at
-            # 3 m ~ 16 cm), or the tracker re-associates through the
-            # covisibility graph and no loop topology ever forms (the
-            # correct behavior for small drift — see
-            # test_loop_e2e.test_corridor_revisit)
-            t = (i - 50) / 70.0
-            d = d * (1.0 + 0.06 * np.sin(np.pi * t))
+        w = world if i < 115 else world_shifted
+        g, d = syn.render_rgbd(w, K, poses[i], H, W)
         frames.append((g, d))
     # pre-trained vocabulary from scene descriptors (k=10, depth=4)
     cfg = make_cfg()
