@@ -366,3 +366,86 @@ def gather_patches_pallas(canvas, level, y0, x0, side: int,
         interpret=interpret,
     )(yb, xb, dy, dx, level.astype(jnp.int32), canvas)
     return out[:F]
+
+
+# ---------------------------------------------------------------------------
+# Point-block accumulation for local BA
+# ---------------------------------------------------------------------------
+#
+# The Schur solver's per-iteration floor is accumulating per-observation
+# blocks (H_pp 9 + b_p 3 + W_cp 18 floats) into per-point bins through the
+# inverse observation map inv[LC, P] (feature index observing point p in
+# row r, or -1).  The XLA gather formulation pays a ~3.5 ms latency floor
+# per iteration at [48, 4096]; here each (row, point-tile) step builds the
+# one-hot selection ON THE FLY in VMEM and contracts it with the row's
+# value matrix on the MXU — the [LC, P, F] one-hot never exists in HBM.
+
+_PS_PT = 512     # point-tile width
+_PS_VD = 32      # padded value depth (30 -> 32 lanes)
+
+
+def _point_sums_kernel(inv_ref, v_ref, summed_ref, gathered_ref, acc):
+    r = pl.program_id(1)
+    n_rows = pl.num_programs(1)
+    F = v_ref.shape[0]
+    inv_tile = inv_ref[0, :]                    # [PT] int32
+    onehot = (inv_tile[:, None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (_PS_PT, F), 1))
+    g = jax.lax.dot_general(
+        onehot.astype(jnp.float32), v_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # [PT, VD]
+    gathered_ref[...] = g
+
+    @pl.when(r == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += g
+
+    @pl.when(r == n_rows - 1)
+    def _emit():
+        summed_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def point_sums_pallas(V, inv, interpret: bool = False):
+    """V [LC, F, D], inv [LC, P] (-1 = no observation) ->
+    (summed [P, D], gathered [LC, P, D]).
+
+    gathered[r, p] = V[r, inv[r, p]] (zeros where inv < 0);
+    summed = gathered.sum(0).  Exact: the one-hot contraction is a
+    selection, f32 throughout.
+    """
+    LC, F, D = V.shape
+    P = inv.shape[1]
+    assert D <= _PS_VD
+    pad_p = (-P) % _PS_PT
+    if pad_p:
+        inv = jnp.pad(inv, ((0, 0), (0, pad_p)), constant_values=-1)
+    Pp = P + pad_p
+    Vp = jnp.pad(V, ((0, 0), (0, 0), (0, _PS_VD - D)))
+    grid = (Pp // _PS_PT, LC)
+    summed, gathered = pl.pallas_call(
+        _point_sums_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _PS_PT), lambda p, r: (r, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, F, _PS_VD), lambda p, r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_PS_PT, _PS_VD), lambda p, r: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _PS_PT, _PS_VD), lambda p, r: (r, p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Pp, _PS_VD), jnp.float32),
+            jax.ShapeDtypeStruct((LC, Pp, _PS_VD), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_PS_PT, _PS_VD), jnp.float32)],
+        interpret=interpret,
+    )(inv, Vp)
+    return summed[:P, :D], gathered[:, :P, :D]

@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import se3
 from . import residuals
@@ -107,11 +108,22 @@ def solve_ba(
     has_inv = inv_lc >= 0                       # [LC, P]
     ginv = jnp.clip(inv_lc, 0, F - 1)
 
+    from ..ops import pallas_kernels as _pk
+    inv_raw = jnp.where(has_inv, ginv, -1)
+
     def point_sums(vals_n, trailing_shape):
-        """Sum observation values into per-point bins via gathers.
+        """Sum observation values into per-point bins via the inverse map.
 
         vals_n: [N, ...]; returns ([P, ...] summed over all rows,
-        [LC, P, ...] per-row gathered values, masked)."""
+        [LC, P, ...] per-row gathered values, masked).  On TPU the gather
+        runs as a Pallas one-hot MXU contraction (the XLA gather pays a
+        ~3.5 ms latency floor at [48, 4096] regardless of payload)."""
+        d = int(np.prod(trailing_shape)) if trailing_shape else 1
+        if _pk.use_pallas() and d <= 32:
+            v = vals_n.reshape(LC, F, d)
+            summed, g = _pk.point_sums_pallas(v, inv_raw)
+            return (summed.reshape((P,) + trailing_shape),
+                    g.reshape((LC, P) + trailing_shape))
         v = vals_n.reshape((LC, F) + trailing_shape)
         g = jnp.take_along_axis(
             v, ginv.reshape((LC, P) + (1,) * len(trailing_shape)), axis=1)

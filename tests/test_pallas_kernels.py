@@ -46,3 +46,25 @@ class TestWindowMatchKernel:
         uniq = d_ref < np.asarray(b2_r)
         np.testing.assert_array_equal(
             np.asarray(bi_r)[uniq], np.asarray(bi_p)[uniq])
+
+
+def test_point_sums_pallas_parity():
+    """One-hot MXU point-block accumulation == masked gather (interpret)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from multi_orb_slam_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.RandomState(3)
+    LC, F, P, D = 4, 128, 700, 30   # P not a multiple of the tile width
+    inv = np.full((LC, P), -1, np.int32)
+    for r in range(LC):
+        sel = rng.choice(P, F, replace=False)
+        inv[r, sel] = np.arange(F)
+    V = rng.randn(LC, F, D).astype(np.float32)
+    s, g = pk.point_sums_pallas(jnp.asarray(V), jnp.asarray(inv), True)
+    gref = np.zeros((LC, P, D), np.float32)
+    for r in range(LC):
+        ok = inv[r] >= 0
+        gref[r, ok] = V[r, inv[r, ok]]
+    np.testing.assert_allclose(np.asarray(g), gref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s), gref.sum(0), atol=1e-5)
