@@ -188,15 +188,16 @@ def run_local_ba(
     cfg: SlamConfig,
     n_free: int = 12,
     n_fixed: int = 12,
-    phases: tuple = ((4, True), (6, False)),
+    phases: tuple = ((5, True), (8, False)),
 ) -> ms.MapState:
     """Full local BA pass around a keyframe (build -> solve -> apply).
 
-    Default schedule is 4 Huber + 6 plain LM iterations — the measured
-    knee: the 120-frame benchmark ATE matches the reference's 5+10
-    schedule (Optimizer.cc:1215,1259) exactly, and the small cold-start
-    scenes of the test suite (which DO regress at 3+5) stay within their
-    bounds, at ~35% less mapping-stage compute.
+    Default schedule is 5 Huber + 8 plain LM iterations with ONE
+    residual linearization per iteration (the solver retains the normal
+    equations on rejected steps, g2o's actual Levenberg flow) — 13
+    evaluations where the reference's 5+10 accept-then-relinearize
+    schedule (Optimizer.cc:1215,1259) pays 30, at matching benchmark and
+    cold-start accuracy.
     """
     prob = build_local_problem(
         state, jnp.asarray(center_kf, jnp.int32), cfg, n_free, n_fixed
@@ -278,7 +279,7 @@ def _mapping_stage_fused(
                                    cfg.ba_free_kfs, cfg.ba_fixed_kfs)
         kf_Tcw, mp_pos, inlier = local_ba.solve_ba(
             prob, calib.T_rc, calib.K, calib.bf,
-            phases=((4, True), (6, False)))
+            phases=((5, True), (8, False)))
         return apply_ba_result(st, prob, kf_Tcw, mp_pos, inlier, cfg)
 
     state = jax.lax.cond(state.n_kf > 2, do_ba_fn, lambda st: st, state)

@@ -167,10 +167,15 @@ def solve_ba(
         return jnp.sum(e * e * row, axis=-1) * obs_is2
 
     def lm_phase(kf_Tcw, mp_pos, active, n_iters, use_huber):
-        n_free = jnp.maximum(jnp.sum(prob.kf_free.astype(jnp.int32)), 1)
 
-        def body(it, carry):
-            kf_Tcw, mp_pos, lam, _ = carry
+        def linearize(kf_Tcw, mp_pos):
+            """ONE residual pass -> undamped normal-equation blocks + cost.
+
+            g2o's Levenberg loop evaluates once per iteration: the trial
+            linearization doubles as the acceptance check, and a rejected
+            step re-solves the RETAINED blocks with a larger lambda
+            (OptimizationAlgorithmLevenberg) — half the evaluation count
+            of accept-then-relinearize."""
             e, Jc, Jp, is_st, posd = residual_state(kf_Tcw, mp_pos)
             act = active & obs_valid & posd
             row = residuals.row_weights(is_st, dtype)
@@ -201,11 +206,10 @@ def solve_ba(
             Hcc = H18[:, 0, :, 0, :] + H18[:, 1, :, 1, :] + H18[:, 2, :, 2, :]
             bc = jnp.einsum(
                 "lnri,lnr->li", JTc.reshape(L, CF, 3, 6), e.reshape(L, CF, 3))
-            # point-block accumulations via ONE fused gather through the
+
+            # point-block accumulations via ONE fused pass through the
             # inverse map: H_pp (9) + b_p (3) + W_cp (18) floats per
-            # observation are concatenated, gathered once, and split —
-            # three separate [LC, P]-shaped gathers each pay the same
-            # latency floor
+            # observation are concatenated, gathered once, and split
             JTp = Jp * Wr[:, :, None]
             Vpp = jnp.einsum("nri,nrj->nij", JTp, Jp).reshape(N, 9)
             Vbp = jnp.einsum("nri,nr->ni", JTp, e)
@@ -214,18 +218,24 @@ def solve_ba(
             summed, gathered = point_sums(Vall, (30,))
             Hpp = summed[:, :9].reshape(P, 3, 3)
             bp = summed[:, 9:12]
-            # W_cp [P, L, 6, 3]: per-(KF,cam) gathered blocks, summed over
-            # the camera axis (each LC row belongs to one KF)
             Wcp = jnp.sum(
                 gathered[..., 12:].reshape(L, C, P, 6, 3), axis=1)
             Wcp = Wcp.transpose(1, 0, 2, 3)     # [P, L, 6, 3]
 
-            # Multiplicative LM damping: scales with each block, keeping the
-            # f32 condition number bounded (absolute damping NaNs XLA's
-            # batched inv on thin-triangulation point blocks with cond~1e8).
-            eye6 = jnp.eye(6, dtype=dtype)
-            eye3 = jnp.eye(3, dtype=dtype)
+            rho_c = jnp.where(
+                use_huber & (r > delta), delta * (2.0 * r - delta), chi2)
+            total = jnp.sum(jnp.where(act, rho_c, 0.0))
+            return (Hcc, bc, Hpp, bp, Wcp, total)
 
+        eye3 = jnp.eye(3, dtype=dtype)
+        eye6 = jnp.eye(6, dtype=dtype)
+
+        def solve_step(lin, lam):
+            Hcc, bc, Hpp, bp, Wcp, _ = lin
+
+            # Multiplicative LM damping: scales with each block, keeping
+            # the f32 condition number bounded (absolute damping NaNs the
+            # batched inverse on thin-triangulation point blocks).
             def damp(H, eye):
                 d = jnp.diagonal(H, axis1=-2, axis2=-1)
                 tr = jnp.sum(d, axis=-1, keepdims=True)
@@ -242,8 +252,7 @@ def solve_ba(
             # Schur: S = blockdiag(Hcc) - sum_p W_p Hpp_p^-1 W_p^T.  Factor
             # Hpp^-1 = R R^T with a closed-form 3x3 Cholesky so the point
             # sum becomes ONE [L6, P3] x [P3, L6] MXU matmul of Y' = W R
-            # with itself (the unfactored form needs a second batched-tiny
-            # matmul chain that lowers poorly).
+            # with itself.
             l11 = jnp.sqrt(jnp.maximum(Hpp_inv[:, 0, 0], 1e-20))
             l21 = Hpp_inv[:, 1, 0] / l11
             l31 = Hpp_inv[:, 2, 0] / l11
@@ -251,7 +260,6 @@ def solve_ba(
             l32 = (Hpp_inv[:, 2, 1] - l31 * l21) / l22
             l33 = jnp.sqrt(jnp.maximum(
                 Hpp_inv[:, 2, 2] - l31 * l31 - l32 * l32, 1e-20))
-            # Y'[:, :, :, k] = W @ R[:, :, k] via broadcast columns
             c0 = (Wcp[..., 0] * l11[:, None, None]
                   + Wcp[..., 1] * l21[:, None, None]
                   + Wcp[..., 2] * l31[:, None, None])
@@ -262,7 +270,6 @@ def solve_ba(
             Yr = Yc.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
             S = -Yr.T @ Yr                                      # [L6, L6]
             Wr_flat = Wcp.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
-            # hb = Hpp^-1 bp per point (broadcast 3x3 * 3)
             bp3 = bp.reshape(P, 3)
             hb = jnp.einsum("pij,pj->pi", Hpp_inv, bp3)
             li = jnp.arange(L)
@@ -273,35 +280,33 @@ def solve_ba(
             free6 = jnp.repeat(prob.kf_free, 6)
             S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
             S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
-            # rhs_c = bc - sum_p W_p (Hpp^-1 bp)_p: one [L6, P3] matvec
             rhs = bc.reshape(L * 6) - Wr_flat.T @ hb.reshape(P * 3)
             rhs = jnp.where(free6, rhs, 0.0)
 
             dxc = -jnp.linalg.solve(S, rhs)
             dxc = jnp.where(free6, dxc, 0.0).reshape(L, 6)
-            # back-substitute points: dp = -Hpp^-1 (bp + W^T dxc)
             WTdx = (Wr_flat @ dxc.reshape(L * 6)).reshape(P, 3)
             dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp3 + WTdx)
             dp = dp * prob.mp_valid[:, None]
+            return dxc, dp
 
-            kf_new = jax.vmap(lambda d, T: se3.exp(d) @ T)(dxc, kf_Tcw)
-            mp_new = mp_pos + dp
+        def body(it, carry):
+            kf_cur, mp_cur, lin, lam = carry
+            dxc, dp = solve_step(lin, lam)
+            kf_new = jax.vmap(lambda d, T: se3.exp(d) @ T)(dxc, kf_cur)
+            mp_new = mp_cur + dp
+            lin_t = linearize(kf_new, mp_new)
+            accept = lin_t[-1] < lin[-1]
+            kf_out = jnp.where(accept, kf_new, kf_cur)
+            mp_out = jnp.where(accept, mp_new, mp_cur)
+            lin_out = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), lin_t, lin)
+            lam_out = jnp.clip(
+                jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e8)
+            return (kf_out, mp_out, lin_out, lam_out)
 
-            # accept/reject on robust total cost
-            e2, _, _, is2_, posd2 = residual_state(kf_new, mp_new)
-            chi2_new = chi2_of(e2, is2_)
-            rho = lambda c2, r_: jnp.where(  # noqa: E731
-                use_huber & (jnp.sqrt(jnp.maximum(c2, 1e-12)) > r_),
-                r_ * (2.0 * jnp.sqrt(jnp.maximum(c2, 1e-12)) - r_), c2)
-            tot_new = jnp.sum(jnp.where(act & posd2, rho(chi2_new, delta), 0.0))
-            tot_old = jnp.sum(jnp.where(act, rho(chi2, delta), 0.0))
-            accept = tot_new < tot_old
-            kf_out = jnp.where(accept, kf_new, kf_Tcw)
-            mp_out = jnp.where(accept, mp_new, mp_pos)
-            lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e8)
-            return (kf_out, mp_out, lam_out, jnp.where(accept, tot_new, tot_old))
-
-        init = (kf_Tcw, mp_pos, jnp.asarray(1e-4, dtype), jnp.asarray(jnp.inf, dtype))
+        lin0 = linearize(kf_Tcw, mp_pos)
+        init = (kf_Tcw, mp_pos, lin0, jnp.asarray(1e-4, dtype))
         kf_Tcw, mp_pos, _, _ = jax.lax.fori_loop(0, n_iters, body, init)
         return kf_Tcw, mp_pos
 
