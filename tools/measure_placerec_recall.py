@@ -98,7 +98,7 @@ def main():
     print(f"rendered {nf} frames in {time.time()-t0:.0f}s", flush=True)
 
     cfg = SlamConfig(n_cams=1, max_feat=512, width=W, height=H,
-                     max_frames_kf=12, th_depth=4.0, local_cap=1024,
+                     max_frames_kf=30, th_depth=4.0, local_cap=1024,
                      ba_local_cap=2048, orb=orb_mod.ORBConfig(n_features=512))
     descs = []
     for i in range(0, nf, 8):
