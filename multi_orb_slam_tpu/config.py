@@ -33,6 +33,11 @@ class SlamConfig(NamedTuple):
                                 # of the deployment (12 covers the measured
                                 # sets of the benchmark sequences)
     ba_fixed_kfs: int = 12      # local-BA window: fixed observer keyframes
+    ba_adaptive: bool = False   # size the local-BA window to the covisible
+                                # set per keyframe (reference semantics,
+                                # Optimizer.cc:936-1014) by bucketing
+                                # (n_free, n_fixed) over compiled variants;
+                                # costs one host sync per KF insertion
     new_mp_per_cam: int = 192   # close points created per camera per KF
     width: int = 640
     height: int = 480

@@ -132,7 +132,8 @@ class LoopCloser:
         nb = [n for n in neighbors if has[n]]
         min_score = float(scores[nb].min()) if nb else 0.3
         cands = db_mod.detect_loop_candidates(
-            self.db, state, kf_slot, max(min_score, 0.0))
+            self.db, state, kf_slot, max(min_score, 0.0),
+            q_ids=q_ids, q_vals=q_vals)
         if not cands:
             self.consistent_groups = []
             return []

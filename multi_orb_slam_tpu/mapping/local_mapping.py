@@ -238,10 +238,20 @@ def run_mapping_stage(
     the device pipeline — the tracker's next fused step chains on the new
     map without the host ever blocking).
     """
+    n_free, n_fixed = cfg.ba_free_kfs, cfg.ba_fixed_kfs
+    if cfg.ba_adaptive:
+        # size the window to the actual covisible set (the reference frees
+        # the FULL covisible neighborhood, Optimizer.cc:936-1014); bucketed
+        # static shapes keep XLA happy at the cost of one host sync here
+        n_cov = int(covis_kf_count(state, jnp.asarray(kf_slot, jnp.int32)))
+        for nf in _BA_WINDOW_BUCKETS:
+            if nf >= n_cov + 1:
+                break
+        n_free = n_fixed = min(nf, cfg.max_kf // 2)
     if do_triangulate and do_fuse and do_ba and do_cull:
         return _mapping_stage_fused(
             state, jnp.asarray(kf_slot, jnp.int32),
-            jnp.asarray(frame_id, jnp.int32), calib, cfg)
+            jnp.asarray(frame_id, jnp.int32), calib, cfg, n_free, n_fixed)
     from . import fusion, triangulation
 
     if do_cull:
@@ -252,20 +262,46 @@ def run_mapping_stage(
         state, _ = fusion.fuse_neighbors(state, kf_slot, calib, cfg)
     if do_ba and int(state.n_kf) > 2:
         state = run_local_ba(state, kf_slot, calib, cfg,
-                             n_free=cfg.ba_free_kfs, n_fixed=cfg.ba_fixed_kfs)
+                             n_free=n_free, n_fixed=n_fixed)
     if do_cull:
         state = cull_keyframes(state, jnp.asarray(kf_slot, jnp.int32), cfg)
     state = update_point_geometry(state, cfg)
     return state
 
 
-@partial(jax.jit, static_argnums=(4,))
+# adaptive-window buckets: smallest compiled variant covering the covisible
+# set wins; the largest is the cap (K=192 maps rarely exceed 32 covisibles)
+_BA_WINDOW_BUCKETS = (12, 16, 24, 32)
+
+
+@jax.jit
+def covis_kf_count(state: ms.MapState, kf_slot: jnp.ndarray) -> jnp.ndarray:
+    """Number of valid keyframes sharing >= 15 observations with kf_slot.
+
+    One matvec against the observation incidence (the reference's
+    GetVectorCovisibleKeyFrames set size, src/KeyFrame.cc:486-668)."""
+    K, C, F = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+    row = state.kf_mp[kf_slot].reshape(-1)
+    in_row = jnp.zeros(M, bool).at[
+        jnp.where(row >= 0, row, M - 1)].max(row >= 0)
+    kfobs = state.kf_mp.reshape(K, -1)
+    ok = (kfobs >= 0) & state.kf_valid[:, None]
+    share = jnp.sum(
+        (in_row[jnp.clip(kfobs, 0, M - 1)] & ok).astype(jnp.int32), axis=-1)
+    share = share.at[kf_slot].set(0)
+    return jnp.sum((share >= 15).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
 def _mapping_stage_fused(
     state: ms.MapState,
     kf_slot: jnp.ndarray,
     frame_id: jnp.ndarray,
     calib: cam_mod.CameraParams,
     cfg: SlamConfig,
+    n_free: int = 12,
+    n_fixed: int = 12,
 ) -> ms.MapState:
     from . import fusion, triangulation
 
@@ -275,8 +311,7 @@ def _mapping_stage_fused(
 
     # local BA under lax.cond: skipped until the map has >2 keyframes
     def do_ba_fn(st):
-        prob = build_local_problem(st, kf_slot, cfg,
-                                   cfg.ba_free_kfs, cfg.ba_fixed_kfs)
+        prob = build_local_problem(st, kf_slot, cfg, n_free, n_fixed)
         kf_Tcw, mp_pos, inlier = local_ba.solve_ba(
             prob, calib.T_rc, calib.K, calib.bf,
             phases=((5, True), (8, False)))

@@ -380,7 +380,8 @@ def gather_patches_pallas(canvas, level, y0, x0, side: int,
 # one-hot selection ON THE FLY in VMEM and contracts it with the row's
 # value matrix on the MXU — the [LC, P, F] one-hot never exists in HBM.
 
-_PS_PT = 512     # point-tile width
+_PS_PT = 1024    # point-tile width (1-D s32 inputs are XLA-tiled T(1024);
+                 # Mosaic requires the block to match that layout)
 _PS_VD = 32      # padded value depth (30 -> 32 lanes)
 
 
@@ -388,12 +389,15 @@ def _point_sums_kernel(inv_ref, v_ref, summed_ref, gathered_ref, acc):
     r = pl.program_id(1)
     n_rows = pl.num_programs(1)
     F = v_ref.shape[0]
-    inv_tile = inv_ref[0, :]                    # [PT] int32
+    inv_tile = inv_ref[...]                     # [PT] int32
     onehot = (inv_tile[:, None] ==
               jax.lax.broadcasted_iota(jnp.int32, (_PS_PT, F), 1))
     g = jax.lax.dot_general(
         onehot.astype(jnp.float32), v_ref[...],
         (((1,), (0,)), ((), ())),
+        # HIGHEST: default MXU bf16 passes truncate the selected f32
+        # values (~1e-2 relative error — poison for LM normal equations)
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)      # [PT, VD]
     gathered_ref[...] = g
 
@@ -426,11 +430,15 @@ def point_sums_pallas(V, inv, interpret: bool = False):
     Pp = P + pad_p
     Vp = jnp.pad(V, ((0, 0), (0, 0), (0, _PS_VD - D)))
     grid = (Pp // _PS_PT, LC)
+    n_ptiles = Pp // _PS_PT
     summed, gathered = pl.pallas_call(
         _point_sums_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _PS_PT), lambda p, r: (r, p),
+            # inv arrives flattened to 1-D: a (1, PT) or squeezed-row 2-D
+            # block is Mosaic-illegal (second-minor must be divisible by 8
+            # or the full dim); 1-D blocks only need lane divisibility
+            pl.BlockSpec((_PS_PT,), lambda p, r: (r * n_ptiles + p,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, F, _PS_VD), lambda p, r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -447,5 +455,5 @@ def point_sums_pallas(V, inv, interpret: bool = False):
         ],
         scratch_shapes=[pltpu.VMEM((_PS_PT, _PS_VD), jnp.float32)],
         interpret=interpret,
-    )(inv, Vp)
+    )(inv.reshape(-1), Vp)
     return summed[:P, :D], gathered[:, :P, :D]

@@ -84,6 +84,8 @@ def detect_loop_candidates(
     query_kf: int,
     min_score: float,
     n_candidates: int = 10,
+    q_ids=None,
+    q_vals=None,
 ) -> list:
     """DetectLoopCandidates_cam1 (reference KeyFrameDatabase.cc:119-267).
 
@@ -94,8 +96,12 @@ def detect_loop_candidates(
     covisibility group, threshold.
     Host-side (returns python list of slots): runs once per keyframe.
     """
-    l1 = np.asarray(score_query_cam0(
-        db, db.ids_cam0[query_kf], db.vals_cam0[query_kf]))
+    if q_ids is None:
+        # query must already be indexed in the db; callers detecting BEFORE
+        # add_keyframe (the reference's order, LoopClosing.cc:277) must pass
+        # the query BoW explicitly or every score is silently zero
+        q_ids, q_vals = db.ids_cam0[query_kf], db.vals_cam0[query_kf]
+    l1 = np.asarray(score_query_cam0(db, q_ids, q_vals))
     K = l1.shape[0]
     has = np.asarray(db.has_bow & state.kf_valid).copy()
     has[query_kf] = False
