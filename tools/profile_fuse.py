@@ -22,8 +22,8 @@ T_rc = jnp.stack([jnp.eye(4), T_rc1])
 calib = cam_mod.CameraParams(K=K, dist=jnp.zeros((C, 5)), T_rc=T_rc,
                              bf=jnp.asarray(40.0), width=W, height=H)
 
-z = np.load("/tmp/bench_frames_v2.npz")
-grays, depths = z["grays"], z["depths"]
+from _bench_data import load_bench_frames
+grays, depths = load_bench_frames()
 tr = tracking.Tracker(calib, cfg)
 tr.kf_inserted_cb = lambda s: local_mapping.run_mapping_stage(
     tr.map, s, tr.frame_id, calib, cfg)
