@@ -16,8 +16,17 @@ targets of SearchInNeighbors) accumulates loser->winner redirections in ONE
 redirects its lookups through the table, and the O(K*C*F) full-store remap +
 per-row dedupe runs ONCE at the end of the group instead of once per target
 (6x9.5 ms -> 9.5 ms on a v5e at K=192, F=1024).  The sequential merge
-semantics of the reference's serial loop are preserved: losers are
-invalidated immediately, later steps see earlier merges through the table.
+semantics of the reference's serial loop are preserved in STRUCTURE —
+losers are invalidated immediately and later steps see earlier merges
+through the table — with one documented heuristic drift: winner selection
+counts observations over the raw (not-yet-remapped) store, so a winner of
+an earlier in-group merge is under-counted by the observations it absorbed
+until `_finalize_merges` runs.  This can flip the merge DIRECTION of a
+later in-group conflict vs the reference's serial MapPoint::Replace (which
+moves observations immediately, src/MapPoint.cc:258-296); both landmarks
+still merge, the map topology is identical, only which slot id survives
+may differ.  Redirecting every count through the table would cost a full
+[K*C*F] gather per step — the deferred design exists to avoid exactly that.
 """
 
 from __future__ import annotations
