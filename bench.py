@@ -105,10 +105,10 @@ def main():
     # measured window doesn't pay the compile
     _pre = local_mapping.run_mapping_stage(
         tracker.map, 0, tracker.frame_id, calib, cfg)
-    jax.block_until_ready(_pre.kf_Tcw)
+    float(jnp.sum(_pre.kf_Tcw))  # forced: block_until_ready lies on axon
     del _pre
     n_kf_mapped[0] = 0
-    jax.block_until_ready(tracker.Tcw)
+    float(jnp.sum(tracker.Tcw))
 
     times = []
     t_start = time.perf_counter()
@@ -117,7 +117,7 @@ def main():
         tracker.process(*dev_frames[i])
         times.append(time.perf_counter() - t0)
     tracker._resolve_pending()
-    jax.block_until_ready(tracker.Tcw)
+    float(jnp.sum(tracker.Tcw))  # forced: true end-of-window barrier
     total = time.perf_counter() - t_start
 
     # throughput over the steady-state segment, INCLUDING mapping stages
@@ -128,11 +128,15 @@ def main():
     fps = 1.0 / per_frame
 
     # standalone per-KF mapping-stage latency, measured separately so the
-    # throughput path stays async
+    # throughput path stays async.  Values are FORCED (float of a
+    # reduction): block_until_ready on the remote-attached backend returns
+    # before the queue drains (NOTES_ROUND2 gotcha #1), which both lets
+    # stale queue time leak into this window and under-measures the op.
+    float(jnp.sum(tracker.Tcw))  # true barrier: drain everything queued
     t0 = time.perf_counter()
     _m = local_mapping.run_mapping_stage(
         tracker.map, int(tracker.last_kf_slot), tracker.frame_id, calib, cfg)
-    jax.block_until_ready(_m.kf_Tcw)
+    float(jnp.sum(_m.kf_Tcw))
     mapping_ms = (time.perf_counter() - t0) * 1e3
 
     result = {

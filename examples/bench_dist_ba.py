@@ -43,6 +43,12 @@ def main():
             os.environ["XLA_FLAGS"] = (
                 os.environ.get("XLA_FLAGS", "")
                 + f" --xla_force_host_platform_device_count={args.devices}")
+        # the session interpreter pins JAX_PLATFORMS=axon via sitecustomize
+        # BEFORE main() runs; env vars alone cannot re-point the backend
+        import jax
+        import jax.extend.backend
+        jax.config.update("jax_platforms", args.platform)
+        jax.extend.backend.clear_backends()
 
     import jax
     import jax.numpy as jnp

@@ -20,3 +20,18 @@ structural analysis this is built against.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# SLAM geometry is numerically unforgiving: pose chains (Tcw compositions),
+# normal-equation assembly, and Schur solves all run through dot_general,
+# and the TPU's DEFAULT matmul precision truncates f32 operands to bf16
+# MXU passes (~1e-2 relative error).  Measured end-to-end on a v5e: with
+# the default precision the TUM driver loses tracking repeatedly and
+# emits NaN poses; at float32 it matches the CPU trajectory (2.4 cm vs
+# 0.6 cm ATE, vs unusable).  The same failure was first isolated in the
+# point_sums Pallas kernel (NOTES_ROUND2 §2) — this makes the fix
+# systemic.  Hot kernels that tolerate bf16 (image convolutions,
+# descriptor popcount sums — integer ops are unaffected) opt back in
+# locally with an explicit precision argument.
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -24,7 +24,14 @@ class SlamConfig(NamedTuple):
     max_kf: int = 192
     max_mp: int = 24576
     local_cap: int = 2048       # local-point batch for per-frame search
-    ba_local_cap: int = 4096    # marginalized-point capacity in local BA
+    ba_local_cap: int = 2048    # marginalized-point capacity in local BA.
+                                # Sized to the measured local-window point
+                                # count of the flagship dual-cam config
+                                # (12-KF windows hold ~1-2k points; the
+                                # whole bench map peaks ~2.5k) — every
+                                # [LC, P, ...] solver intermediate scales
+                                # linearly with it.  Dense outdoor scenes
+                                # (KITTI stereo) should raise it.
     ba_free_kfs: int = 12       # local-BA window: optimized keyframes.  The
                                 # reference frees the FULL covisible set
                                 # (Optimizer.cc:936-1014, unbounded); a
@@ -48,16 +55,21 @@ class SlamConfig(NamedTuple):
     max_frames_kf: int = 30     # reference: fps
     min_inliers_track: int = 30 # TrackLocalMap accept gate (Tracking.cc:1396)
     min_matches_motion: int = 20
-    kf_ref_ratio: float = 0.75  # NeedNewKeyFrame weak-tracking ratio —
-                                # the reference's stereo/RGB-D value
-                                # (Tracking.cc:1474).  Mid-round this had
-                                # to run at 0.9: with the (since-fixed)
-                                # fusion duplicate-observation bug, a
-                                # sparser keyframe cadence starved the map
-                                # and tripled benchmark ATE; with clean
-                                # merges 0.75 tracks at 0.48 cm with ~40%
-                                # fewer keyframes (=> proportionally less
-                                # mapping compute).
+    kf_ref_ratio: float = 0.60  # NeedNewKeyFrame weak-tracking ratio.  The
+                                # reference compares current inliers to the
+                                # reference KF's TrackedMapPoints with a
+                                # 0.75 ratio (Tracking.cc:1474) — BOTH
+                                # measured post-redetection.  Our reference
+                                # quantity is inliers-at-insertion (see
+                                # tracking.py), which exceeds the
+                                # reference's by the per-cell top-K
+                                # redetection overlap (~0.78: a 1-frame-old
+                                # KF refinds ~78% of its points), so the
+                                # faithful effective ratio is
+                                # 0.75 * 0.78 ~= 0.6.  At 0.75 against the
+                                # inflated base the cadence nearly doubles
+                                # (13 KFs / 52 bench frames vs the
+                                # reference's ~1 per 10-15).
     orb: orb.ORBConfig = orb.ORBConfig()
 
 

@@ -32,6 +32,52 @@ from ..optim import global_ba, pose_graph
 from ..placerec import database as db_mod, vocabulary as vocab_mod
 from . import sim3_solver
 
+@jax.jit
+def _merge_gba(state: ms.MapState, Tcw_gba, pos_gba, old_kf, kf_fid_launch,
+               old_mp, mp_ff_launch) -> ms.MapState:
+    """Fold GBA output (computed from a past map snapshot) into the live map.
+
+    Mirrors the propagation of src/LoopClosing.cc:927-989.  Slot-recycling
+    guard: a slot only counts as "existed at launch" if it still holds the
+    same keyframe (frame id) / map point (creation frame) — a culled slot
+    reused during the solve is treated as new.
+    """
+    K = state.kf_Tcw.shape[0]
+    old_kf_eff = (old_kf & state.kf_valid
+                  & (state.kf_frame_id == kf_fid_launch))
+    old_mp_eff = (old_mp & state.mp_valid
+                  & (state.mp_first_frame == mp_ff_launch))
+    is_new_kf = state.kf_valid & ~old_kf_eff
+    # spanning-tree parent of a keyframe born during the solve: the old
+    # keyframe sharing the most camera-0 observations (the reference
+    # parents its spanning tree on cam1 covisibility, KeyFrame.cc:654-665)
+    W = ms.covisibility(state, cam0_only=True)
+    w_old = jnp.where(old_kf_eff[None, :], W, -1.0)
+    parent = jnp.argmax(w_old, axis=1)
+    has_parent = jnp.take_along_axis(w_old, parent[:, None], 1)[:, 0] > 0
+    inv_Tp_cur = jax.vmap(se3.inverse)(state.kf_Tcw[parent])
+    # Tcw_child' = (Tcw_child * Tcw_parent^-1) * Tcw_parent_GBA
+    corr_child = jnp.einsum(
+        "kij,kjl,klm->kim", state.kf_Tcw, inv_Tp_cur, Tcw_gba[parent])
+    new_Tcw = jnp.where(
+        old_kf_eff[:, None, None], Tcw_gba,
+        jnp.where((is_new_kf & has_parent)[:, None, None],
+                  corr_child, state.kf_Tcw))
+    # map points born during the solve: re-anchor through their creating
+    # keyframe's old->new transform (x' = T_ref_new^-1 * T_ref_old * x)
+    ref = jnp.clip(state.mp_first_kf, 0, K - 1)
+    corr = jnp.einsum(
+        "mij,mjl->mil", jax.vmap(se3.inverse)(new_Tcw[ref]),
+        state.kf_Tcw[ref])
+    x_corr = (jnp.einsum("mij,mj->mi", corr[:, :3, :3], state.mp_pos)
+              + corr[:, :3, 3])
+    is_new_mp = state.mp_valid & ~old_mp_eff & (state.mp_first_kf >= 0)
+    mp_pos = jnp.where(
+        old_mp_eff[:, None], pos_gba,
+        jnp.where(is_new_mp[:, None], x_corr, state.mp_pos))
+    return state._replace(kf_Tcw=new_Tcw, mp_pos=mp_pos)
+
+
 MIN_MATCHES_BOW = 15      # LoopClosing.cc:372 (SearchByBoW gate)
 MIN_INLIERS_SIM3 = 20     # LoopClosing.cc:461
 MIN_TOTAL_MATCHES = 40    # LoopClosing.cc:522
@@ -47,9 +93,12 @@ VOCAB_MIN_DESCS = 6000
 
 class LoopCloser:
     def __init__(self, calib: cam_mod.CameraParams, cfg: SlamConfig,
-                 run_gba: bool = True, vocab_k: int = 10, vocab_depth: int = 3,
+                 run_gba: bool = True, vocab_k: int = 10, vocab_depth: int = 4,
                  vocab_min_descs: int = VOCAB_MIN_DESCS,
                  vocab_path: str | None = None):
+        # vocab depth 4 (~10^4 words) is the DEFAULT: the 1000-word depth-3
+        # tree sits on a score knife edge (NOTES_ROUND2) and every tested
+        # configuration (loop e2e, recall harness) uses depth 4
         self.calib = calib
         self.cfg = cfg
         self.run_gba = run_gba
@@ -70,6 +119,11 @@ class LoopCloser:
         self.loop_pairs = []         # accumulated loop edges
         self.n_loops_closed = 0
         self._pending_bow = []
+        # asynchronously dispatched global BA awaiting merge (the
+        # reference's transient GBA thread, src/LoopClosing.cc:812):
+        # (Tcw_gba, pos_gba, old_kf, kf_fid_launch, old_mp, mp_ff_launch)
+        self._gba_pending = None
+        self.n_gba_merged = 0
 
     # ------------------------------------------------------------------
 
@@ -92,6 +146,10 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def process_keyframe(self, state: ms.MapState, kf_slot: int) -> ms.MapState:
+        # merge a finished asynchronous GBA before anything else (the
+        # reference applies GBA results once the thread completes, pausing
+        # mapping; our deterministic equivalent is the next KF boundary)
+        state = self.merge_pending_gba(state)
         if not self._ensure_vocab(state, kf_slot):
             return state
         # index any keyframes that arrived before the vocabulary was ready
@@ -407,8 +465,44 @@ class LoopCloser:
             x_new, state.mp_pos)
         state = state._replace(kf_Tcw=new_Tcw, mp_pos=mp_pos)
 
-        # full-map BA (the reference spawns a GBA thread; we run inline)
+        # full-map BA, dispatched ASYNCHRONOUSLY: the reference spawns a
+        # GBA thread so tracking/mapping continue during the solve
+        # (src/LoopClosing.cc:812); here the solve is enqueued on the
+        # device WITHOUT chaining it into the tracker's state — the host
+        # returns immediately, tracking keeps dispatching against the
+        # pose-graph-corrected map, and the result merges at the next
+        # keyframe boundary (merge_pending_gba).  A newer loop closure
+        # supersedes a pending GBA exactly as the reference's mnFullBAIdx
+        # check aborts/ignores an outdated run (LoopClosing.cc:897-907).
         if self.run_gba:
-            state = global_ba.run_global_ba(state, self.calib, self.cfg,
-                                            n_outer=9)
+            self._gba_pending = None  # superseded by this newer loop
+            Tcw_gba, pos_gba = global_ba.dispatch_global_ba(
+                state, self.calib, self.cfg, n_outer=9)
+            self._gba_pending = (
+                Tcw_gba, pos_gba,
+                state.kf_valid, state.kf_frame_id,
+                state.mp_valid, state.mp_first_frame,
+            )
         return state
+
+    # ------------------------------------------------------------------
+
+    def merge_pending_gba(self, state: ms.MapState) -> ms.MapState:
+        """Fold an asynchronously dispatched GBA result into the live map.
+
+        Reference LoopClosing::RunGlobalBundleAdjustment
+        (src/LoopClosing.cc:892-1001): keyframes that existed when GBA
+        launched take their optimized poses; keyframes created DURING the
+        solve are corrected through their spanning-tree parent
+        (mTcwGBA = Tchild * Tparent^-1 * Tparent_GBA); map points that
+        existed take optimized positions, newer ones are re-anchored
+        through their creating keyframe's old->new transform.
+        """
+        if self._gba_pending is None:
+            return state
+        (Tcw_gba, pos_gba, old_kf, kf_fid_launch,
+         old_mp, mp_ff_launch) = self._gba_pending
+        self._gba_pending = None
+        self.n_gba_merged += 1
+        return _merge_gba(state, Tcw_gba, pos_gba, old_kf, kf_fid_launch,
+                          old_mp, mp_ff_launch)

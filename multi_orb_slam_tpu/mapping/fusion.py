@@ -16,17 +16,13 @@ targets of SearchInNeighbors) accumulates loser->winner redirections in ONE
 redirects its lookups through the table, and the O(K*C*F) full-store remap +
 per-row dedupe runs ONCE at the end of the group instead of once per target
 (6x9.5 ms -> 9.5 ms on a v5e at K=192, F=1024).  The sequential merge
-semantics of the reference's serial loop are preserved in STRUCTURE —
-losers are invalidated immediately and later steps see earlier merges
-through the table — with one documented heuristic drift: winner selection
-counts observations over the raw (not-yet-remapped) store, so a winner of
-an earlier in-group merge is under-counted by the observations it absorbed
-until `_finalize_merges` runs.  This can flip the merge DIRECTION of a
-later in-group conflict vs the reference's serial MapPoint::Replace (which
-moves observations immediately, src/MapPoint.cc:258-296); both landmarks
-still merge, the map topology is identical, only which slot id survives
-may differ.  Redirecting every count through the table would cost a full
-[K*C*F] gather per step — the deferred design exists to avoid exactly that.
+semantics of the reference's serial loop are preserved: losers are
+invalidated immediately, later steps see earlier merges through the table,
+and the weighted observation counter that decides merge direction is
+CARRIED through the group — a merge rolls the loser's count into the
+winner at once (MapPoint::Replace moves observations immediately,
+src/MapPoint.cc:258-296) — so in-group winner decisions match the
+reference's serial semantics without a full-store recount per step.
 """
 
 from __future__ import annotations
@@ -47,31 +43,42 @@ def _fuse_step(
     pts: search.LocalPoints,
     kf_t: jnp.ndarray,
     replace_tot: jnp.ndarray,  # [M] raw id -> live id (path-compressed)
+    obs_cnt: jnp.ndarray,      # [M] int32 weighted obs count at LIVE ids,
+                               # maintained incrementally across the group
     cfg: SlamConfig,
     calib: cam_mod.CameraParams,
+    match_raw: jnp.ndarray | None = None,  # [C, F] precomputed matches
 ):
     """One fusion target: match, add observations, record merges.
 
     Touches only the target row of `kf_mp`; merge effects on the rest of the
-    store are deferred to `_finalize_merges` via `replace_tot`.
+    store are deferred to `_finalize_merges` via `replace_tot`.  The
+    observation counter is carried: a merge rolls the loser's count into
+    the winner immediately (MapPoint::Replace moves observations,
+    src/MapPoint.cc:258-296), so later in-group winner decisions see the
+    absorbed observations without a full-store recount (each
+    mp_weighted_obs scatter costs ~4 ms at [192, 2, 1024] on a v5e).
     """
     M = cfg.max_mp
     K, C, F = state.kf_mp.shape
-    # points that lost an earlier merge in this group are dead: skip them
-    g = jnp.clip(pts.idx, 0, M - 1)
-    pts = pts._replace(valid=pts.valid & state.mp_valid[g])
-    match_raw, _ = search.search_points_in_frame(
-        pts,
-        state.kf_xy_und[kf_t], state.kf_uright[kf_t], state.kf_level[kf_t],
-        state.kf_desc[kf_t], state.kf_feat_valid[kf_t],
-        jnp.zeros((C, F), bool),
-        state.kf_Tcw[kf_t], calib.T_rc, calib.K, calib.bf,
-        cfg.width, cfg.height, cfg.scale_factor, cfg.n_levels,
-        th_radius=3.0, nn_ratio=1.0,  # Fuse has no ratio test (TH_LOW only)
-        th_hamming=50, use_view_cos=True,
-    )
+    if match_raw is None:
+        # points that lost an earlier merge in this group are dead: skip
+        g = jnp.clip(pts.idx, 0, M - 1)
+        pts = pts._replace(valid=pts.valid & state.mp_valid[g])
+        match_raw, _ = search.search_points_in_frame(
+            pts,
+            state.kf_xy_und[kf_t], state.kf_uright[kf_t],
+            state.kf_level[kf_t],
+            state.kf_desc[kf_t], state.kf_feat_valid[kf_t],
+            jnp.zeros((C, F), bool),
+            state.kf_Tcw[kf_t], calib.T_rc, calib.K, calib.bf,
+            cfg.width, cfg.height, cfg.scale_factor, cfg.n_levels,
+            th_radius=3.0, nn_ratio=1.0,  # Fuse: no ratio test (TH_LOW only)
+            th_hamming=50, use_view_cos=True,
+        )
     # redirect both sides through the accumulated merges so conflicts are
-    # detected between LIVE landmark ids
+    # detected between LIVE landmark ids (a precomputed match against a
+    # point merged away earlier in the group redirects to its winner)
     match_mp = jnp.where(
         match_raw >= 0, replace_tot[jnp.clip(match_raw, 0, M - 1)], -1)
     cur_raw = state.kf_mp[kf_t]                    # [C, F]
@@ -88,10 +95,22 @@ def _fuse_step(
     row = jnp.where(row_dd < 0, -1, row)
     kf_mp = state.kf_mp.at[kf_t].set(row)
 
+    # incremental count update for this row: features that gained an
+    # observation (+w), features the dedupe dropped (-w); stereo obs
+    # weigh 2 (MapPoint::nObs semantics, src/MapPoint.cc:161-164)
+    w_feat = jnp.where(state.kf_uright[kf_t] >= 0, 2, 1).astype(jnp.int32)
+    added = (row >= 0) & (cur_raw < 0)
+    removed = (cur_raw >= 0) & (row < 0)
+    add_at = jnp.where(added, row, M - 1).reshape(-1)        # live ids
+    obs_cnt = obs_cnt.at[add_at].add(
+        jnp.where(added, w_feat, 0).reshape(-1))
+    rem_at = jnp.where(removed, cur_mp, M - 1).reshape(-1)   # live ids
+    obs_cnt = obs_cnt.at[rem_at].add(
+        -jnp.where(removed, w_feat, 0).reshape(-1))
+
     # --- merge conflicting pairs: loser -> winner by observation count ---
     # Winner by a STRICT total order (obs count, then lower slot id): both
     # orientations of the same pair agree, so no merge cycles can form.
-    obs_cnt = ms.mp_weighted_obs(state)
     a = jnp.where(conflict, match_mp, 0)
     b = jnp.where(conflict, cur_mp, 0)
     key = obs_cnt * M + (M - jnp.arange(M, dtype=jnp.int32))
@@ -109,13 +128,15 @@ def _fuse_step(
         replace = replace[replace]
 
     # losers die now (so later steps in the group skip them); their
-    # found/visible counters roll into the final winner
+    # found/visible/observation counters roll into the final winner
     is_loser = replace != jnp.arange(M, dtype=jnp.int32)
     wfin = replace[lfl]
     mp_found = state.mp_found.at[jnp.where(cfl, wfin, M - 1)].add(
         jnp.where(cfl, state.mp_found[lfl], 0))
     mp_visible = state.mp_visible.at[jnp.where(cfl, wfin, M - 1)].add(
         jnp.where(cfl, state.mp_visible[lfl], 0))
+    obs_cnt = obs_cnt.at[jnp.where(cfl, wfin, M - 1)].add(
+        jnp.where(cfl, obs_cnt[lfl], 0))
     mp_valid = state.mp_valid & ~is_loser
     n_merged = jnp.sum(is_loser.astype(jnp.int32))
 
@@ -128,7 +149,7 @@ def _fuse_step(
         mp_found=mp_found, mp_visible=mp_visible,
         n_mp=state.n_mp - n_merged,
     )
-    return state, replace_tot, n_merged
+    return state, replace_tot, obs_cnt, n_merged
 
 
 def _finalize_merges(
@@ -167,7 +188,8 @@ def fuse_into_kf(
     pts = search.gather_local_points(
         state, src_mask & state.mp_valid, cfg.local_cap)
     rep0 = jnp.arange(M, dtype=jnp.int32)
-    state, rep, n_merged = _fuse_step(state, pts, kf_t, rep0, cfg, calib)
+    state, rep, _, n_merged = _fuse_step(
+        state, pts, kf_t, rep0, ms.mp_weighted_obs(state), cfg, calib)
     return _finalize_merges(state, rep), n_merged
 
 
@@ -194,13 +216,14 @@ def fuse_into_kfs(
     pts = search.gather_local_points(
         state, src_mask & state.mp_valid, cfg.local_cap)
     rep0 = jnp.arange(M, dtype=jnp.int32)
+    cnt0 = ms.mp_weighted_obs(state)
 
     def step(carry, slot):
-        st, rep = carry
-        st, rep, n = _fuse_step(st, pts, slot, rep, cfg, calib)
-        return (st, rep), n
+        st, rep, cnt = carry
+        st, rep, cnt, n = _fuse_step(st, pts, slot, rep, cnt, cfg, calib)
+        return (st, rep, cnt), n
 
-    (state, rep), ns = jax.lax.scan(step, (state, rep0), kf_slots)
+    (state, rep, _), ns = jax.lax.scan(step, (state, rep0, cnt0), kf_slots)
     return _finalize_merges(state, rep), jnp.sum(ns)
 
 
@@ -218,28 +241,51 @@ def fuse_neighbors(
     reserved no-op dummy slot K-1.
     """
     M = cfg.max_mp
-    K = state.kf_mp.shape[0]
+    K, C, F = state.kf_mp.shape
     W = ms.covisibility(state)
     w, nbrs = jax.lax.top_k(W[kf_slot], n_neighbors)
     ok = w > 0
     slots = jnp.where(ok, nbrs, K - 1).astype(jnp.int32)
     kf_slot = jnp.asarray(kf_slot, jnp.int32)
     rep0 = jnp.arange(M, dtype=jnp.int32)
+    cnt0 = ms.mp_weighted_obs(state)
 
-    # direction 1: this KF's points into each neighbor (sequential scan —
-    # later fuses see earlier merges through the replacement table)
+    # direction 1: this KF's points into each neighbor.  The MATCHING is
+    # independent of the merge bookkeeping (projection uses keyframe poses
+    # and point positions, neither of which a fuse step mutates), so all
+    # n_neighbors searches run BATCHED in one vmap; only the cheap merge
+    # bookkeeping stays a sequential scan (later fuses see earlier merges
+    # through the replacement table — a match against a merged-away loser
+    # redirects to its winner inside _fuse_step).
     own = state.kf_mp[kf_slot].reshape(-1)
     own_mask = jnp.zeros(M, bool).at[
         jnp.where(own >= 0, own, M - 1)].max(own >= 0)
     pts_own = search.gather_local_points(
         state, own_mask & state.mp_valid, cfg.local_cap)
 
-    def step(carry, slot):
-        st, rep = carry
-        st, rep, n = _fuse_step(st, pts_own, slot, rep, cfg, calib)
-        return (st, rep), n
+    def match_one(slot):
+        m, _ = search.search_points_in_frame(
+            pts_own,
+            state.kf_xy_und[slot], state.kf_uright[slot],
+            state.kf_level[slot],
+            state.kf_desc[slot], state.kf_feat_valid[slot],
+            jnp.zeros((C, F), bool),
+            state.kf_Tcw[slot], calib.T_rc, calib.K, calib.bf,
+            cfg.width, cfg.height, cfg.scale_factor, cfg.n_levels,
+            th_radius=3.0, nn_ratio=1.0, th_hamming=50, use_view_cos=True)
+        return m
 
-    (state, rep), ns = jax.lax.scan(step, (state, rep0), slots)
+    match_all = jax.vmap(match_one)(slots)          # [Kc, C, F]
+
+    def step(carry, xs):
+        st, rep, cnt = carry
+        slot, mraw = xs
+        st, rep, cnt, n = _fuse_step(st, pts_own, slot, rep, cnt, cfg,
+                                     calib, match_raw=mraw)
+        return (st, rep, cnt), n
+
+    (state, rep, cnt), ns = jax.lax.scan(
+        step, (state, rep0, cnt0), (slots, match_all))
 
     # direction 2: neighbors' points into this KF (redirect the mask through
     # the table so winners of direction-1 merges are projected, not losers)
@@ -251,5 +297,6 @@ def fuse_neighbors(
         jnp.where(rows_ok, rows, M - 1).reshape(-1)].max(rows_ok.reshape(-1))
     pts_n = search.gather_local_points(
         state, neigh_mask & state.mp_valid, cfg.local_cap)
-    state, rep, n2 = _fuse_step(state, pts_n, kf_slot, rep, cfg, calib)
+    state, rep, cnt, n2 = _fuse_step(state, pts_n, kf_slot, rep, cnt,
+                                     cfg, calib)
     return _finalize_merges(state, rep), jnp.sum(ns) + n2

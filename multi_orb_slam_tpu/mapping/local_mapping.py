@@ -369,45 +369,84 @@ def cull_map_points(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(jax.jit, static_argnums=(2, 3))
 def cull_keyframes(
-    state: ms.MapState, center_kf: jnp.ndarray, cfg: SlamConfig
+    state: ms.MapState, center_kf: jnp.ndarray, cfg: SlamConfig,
+    max_victims: int = 6,
 ) -> ms.MapState:
-    """Discard redundant local keyframes.
+    """Discard redundant local keyframes (multi-victim, octave-aware).
 
-    Reference rule: a KF whose map points are >= 90% seen by >= 3 other KFs
-    at the same-or-finer scale is redundant (LocalMapping.cc:966-1038).  We
-    apply it to the covisibility neighbors of `center_kf`, never to slot 0.
+    Reference rule (LocalMapping::KeyFrameCulling, LocalMapping.cc:966-1038):
+    for each covisibility neighbor of `center_kf`, a CLOSE map point
+    (0 < depth < thDepth, the RGB-D gate at :996) is redundant if >= 3 OTHER
+    keyframes observe it at the same-or-finer pyramid octave
+    (scaleLevel_other <= scaleLevel_here + 1); the keyframe is erased when
+    > 90% of its close points are redundant.  The reference erases every
+    passing neighbor in one serial loop, each erasure immediately shrinking
+    later candidates' support counts; we reproduce that serial semantics as
+    a lax.scan over the top-`max_victims` candidates ordered by redundancy
+    ratio — a per-point level-histogram is built once, and each accepted
+    victim subtracts its own observations from it before the next candidate
+    is judged, so mutually-redundant keyframe pairs cannot cull each other.
+    Never culls slot 0 (the map origin) or the center keyframe itself.
     """
     K, C, F = state.kf_mp.shape
     M = state.mp_pos.shape[0]
-    obs_cnt = ms.mp_observation_count(state)  # [M]
-    kfobs = state.kf_mp  # [K, C, F]
-    has = (kfobs >= 0) & state.kf_feat_valid
-    cnt_of = obs_cnt[jnp.clip(kfobs, 0, M - 1)]
-    # observed by >= 3 others (total count >= 4); scale check approximated by
-    # count alone (the reference also requires same-or-finer octave)
-    redundant = has & (cnt_of >= 4)
-    n_pts = jnp.sum(has.astype(jnp.int32), axis=(1, 2))
-    n_red = jnp.sum(redundant.astype(jnp.int32), axis=(1, 2))
-    ratio = n_red.astype(jnp.float32) / jnp.maximum(n_pts.astype(jnp.float32), 1.0)
+    L = cfg.n_levels
+    has = ((state.kf_mp >= 0) & state.kf_feat_valid
+           & state.kf_valid[:, None, None])
+    close = (state.kf_depth > 0) & (state.kf_depth < cfg.th_depth)
+    lvl = jnp.clip(state.kf_level, 0, L - 1)
+    # per-point observation count at each pyramid level, over ALL keyframes
+    lin = jnp.clip(state.kf_mp, 0, M - 1) * L + lvl          # [K, C, F]
+    idx = jnp.where(has, lin, M * L).reshape(-1)
+    lvl_cnt = jnp.zeros(M * L + 1, jnp.int32).at[idx].add(
+        has.reshape(-1).astype(jnp.int32))
 
-    # only cull covisibility neighbors of the center KF
+    def kf_ratio(lvl_cnt, s):
+        """Redundant-close-point ratio of keyframe slot s under lvl_cnt."""
+        m_s = jnp.clip(state.kf_mp[s], 0, M - 1)             # [C, F]
+        cnt = lvl_cnt[:-1].reshape(M, L)[m_s]                # [C, F, L]
+        sup_mask = jnp.arange(L) <= (lvl[s] + 1)[..., None]  # [C, F, L]
+        sup = jnp.sum(jnp.where(sup_mask, cnt, 0), axis=-1) - 1
+        ok = has[s] & close[s]
+        red = ok & (sup >= 3)
+        n_pts = jnp.sum(ok.astype(jnp.int32))
+        n_red = jnp.sum(red.astype(jnp.int32))
+        return n_red.astype(jnp.float32) / jnp.maximum(
+            n_pts.astype(jnp.float32), 1.0)
+
     W = ms.covisibility(state)
     neighbor = W[center_kf] >= 15.0
-    cand = (
-        state.kf_valid & neighbor & (ratio > 0.9)
-        & (jnp.arange(K) != 0) & (jnp.arange(K) != center_kf)
-    )
-    # cull at most one KF per pass (the reference loops; one-per-pass keeps
-    # covisibility consistent between erasures)
-    victim = jnp.argmax(cand.astype(jnp.int32) * (1.0 + ratio))
-    do = cand[victim]
-    kf_valid = state.kf_valid.at[victim].set(
-        jnp.where(do, False, state.kf_valid[victim]))
-    rows = jnp.where(do, -1, state.kf_mp[victim])
-    kf_mp = state.kf_mp.at[victim].set(rows)
+    cand = (state.kf_valid & neighbor
+            & (jnp.arange(K) != 0) & (jnp.arange(K) != center_kf))
+    ratio0 = jax.vmap(lambda s: kf_ratio(lvl_cnt, s))(
+        jnp.arange(K, dtype=jnp.int32))
+    order_score = jnp.where(cand, ratio0, -1.0)
+    _, victims = jax.lax.top_k(order_score, max_victims)
+    vic_ok = order_score[victims] > 0.0  # only plausible candidates
+
+    def step(carry, xs):
+        kf_valid, lvl_cnt, n_culled = carry
+        s, ok = xs
+        r = kf_ratio(lvl_cnt, s)
+        do = ok & (r > 0.9) & kf_valid[s]
+        # subtract this KF's observations from the level histogram so the
+        # next candidate no longer counts it as a supporter
+        sub = has[s] & do
+        idx_s = jnp.where(sub, lin[s], M * L).reshape(-1)
+        lvl_cnt = lvl_cnt.at[idx_s].add(
+            -sub.reshape(-1).astype(jnp.int32))
+        kf_valid = kf_valid.at[s].set(kf_valid[s] & ~do)
+        return (kf_valid, lvl_cnt, n_culled + do.astype(jnp.int32)), do
+
+    (kf_valid, _, n_culled), dos = jax.lax.scan(
+        step, (state.kf_valid, lvl_cnt, jnp.asarray(0, jnp.int32)),
+        (victims, vic_ok))
+    # erase the victims' observation rows
+    erased = jnp.zeros(K, bool).at[victims].max(dos)
+    kf_mp = jnp.where(erased[:, None, None], -1, state.kf_mp)
     return state._replace(
         kf_valid=kf_valid, kf_mp=kf_mp,
-        n_kf=state.n_kf - do.astype(jnp.int32),
+        n_kf=state.n_kf - n_culled,
     )

@@ -159,7 +159,10 @@ def covisibility(state: MapState, cam0_only: bool = False) -> jnp.ndarray:
     (include/KeyFrame.h:274-282); `cam0_only` selects the latter.
     """
     O = observation_matrix(state, cam0_only)
-    W = O @ O.T
+    # DEFAULT precision: 0/1 products are exact in bf16 and the f32
+    # accumulator holds counts exactly; [K, M] @ [M, K] is ~2 GFLOP at
+    # K=192, M=24576 — the package-wide float32 default would 6x it
+    W = jnp.dot(O, O.T, precision=jax.lax.Precision.DEFAULT)
     return W - jnp.diag(jnp.diag(W))
 
 

@@ -53,7 +53,12 @@ def pairwise_hamming(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     pa = unpack_pm1(a)
     pb = unpack_pm1(b)
-    dot = jnp.dot(pa, pb.T, preferred_element_type=jnp.float32)
+    # explicit DEFAULT precision: +-1 products are exact in bf16 with f32
+    # accumulation, so the package-wide float32 matmul default (needed for
+    # geometry) would cost 6 MXU passes here for zero accuracy — this is
+    # the hottest matmul in the system (every SearchBy* call)
+    dot = jnp.dot(pa, pb.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     return ((256.0 - dot) * 0.5).astype(jnp.int32)
 
 

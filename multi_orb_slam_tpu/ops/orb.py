@@ -431,8 +431,15 @@ def gaussian_blur7_batched(imgs: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray
     kx = jnp.asarray(k).reshape(1, 1, 1, 7)
     ky = jnp.asarray(k).reshape(1, 1, 7, 1)
     x = imgs[:, None]  # NCHW
-    x = jax.lax.conv_general_dilated(x, ky, (1, 1), [(3, 3), (0, 0)])
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1), [(0, 0), (3, 3)])
+    # DEFAULT precision: a 7-tap smoothing filter needs nowhere near f32
+    # products (descriptor parity was validated at bf16); the package-wide
+    # float32 matmul default would 6x these convs
+    x = jax.lax.conv_general_dilated(
+        x, ky, (1, 1), [(3, 3), (0, 0)],
+        precision=jax.lax.Precision.DEFAULT)
+    x = jax.lax.conv_general_dilated(
+        x, kx, (1, 1), [(0, 0), (3, 3)],
+        precision=jax.lax.Precision.DEFAULT)
     return x[:, 0]
 
 
@@ -569,10 +576,15 @@ def extract_orb(img: jnp.ndarray, cfg: ORBConfig = ORBConfig()) -> Features:
     # one [F, 1521] @ [1521, N_ROT*256] MXU matmul computes every rotation
     # bin; the per-feature bin is then selected with a one-hot contraction
     W_all = ROT_BRIEF_W.transpose(1, 0, 2).reshape(-1, N_ROT * 256)
-    proj = jnp.dot(Pb, W_all, preferred_element_type=jnp.float32)
+    # DEFAULT precision on both contractions: this is the round-2-validated
+    # bf16 BRIEF path (descriptor parity tests passed at this precision);
+    # the package-wide float32 default would 6x the dominant extraction op
+    proj = jnp.dot(Pb, W_all, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
     proj = proj.reshape(F, N_ROT, 256)
     sel = jax.nn.one_hot(ang_bin, N_ROT, dtype=proj.dtype)
-    diff = jnp.einsum("fbs,fb->fs", proj, sel)
+    diff = jnp.einsum("fbs,fb->fs", proj, sel,
+                      precision=jax.lax.Precision.DEFAULT)
     bits = (diff > 0).astype(jnp.uint32)
     bits = bits.reshape(F, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)

@@ -237,18 +237,27 @@ def _chi2_gate(kf_Tcw, kf_mp, obs_uvr, obs_is2, mp_pos, T_rc, K_intr, bf,
     return ((chi2 <= th) & posd).reshape(K, C, F)
 
 
-def run_global_ba(state, calib, cfg: SlamConfig, n_outer: int = 10):
-    """Full-map BA (reference GBA: 10 iterations, first KF fixed,
-    src/LoopClosing.cc:898).  Returns updated MapState."""
+def dispatch_global_ba(state, calib, cfg: SlamConfig, n_outer: int = 10):
+    """Enqueue full-map BA on the device; return (kf_Tcw, mp_pos) futures.
+
+    The async-GBA primitive (reference spawns a GBA thread,
+    src/LoopClosing.cc:812): the caller keeps working against the old map
+    and folds these results in later (LoopCloser.merge_pending_gba)."""
     kf_free = state.kf_valid & (jnp.arange(state.kf_valid.shape[0]) != 0)
     obs_uvr = jnp.concatenate(
         [state.kf_xy_und, state.kf_uright[..., None]], axis=-1)
     obs_is2 = inv_sigma2_of_level(state.kf_level, cfg)
     # mask invalid feature slots out of the problem
     kf_mp = jnp.where(state.kf_feat_valid, state.kf_mp, -1)
-    Tcw, pos = run_global_ba_jit(
+    return run_global_ba_jit(
         (state.kf_Tcw, state.kf_valid, kf_mp, obs_uvr, obs_is2,
          state.mp_pos, state.mp_valid),
         (calib.T_rc, calib.K, calib.bf),
         kf_free, cfg, n_outer)
+
+
+def run_global_ba(state, calib, cfg: SlamConfig, n_outer: int = 10):
+    """Full-map BA (reference GBA: 10 iterations, first KF fixed,
+    src/LoopClosing.cc:898).  Returns updated MapState."""
+    Tcw, pos = dispatch_global_ba(state, calib, cfg, n_outer)
     return state._replace(kf_Tcw=Tcw, mp_pos=pos)

@@ -130,17 +130,21 @@ def detect_loop_candidates(
         keep = acc >= 0.75 * best_acc
         out = sorted({int(best_of_group[k]) for k in np.nonzero(keep)[0]},
                      key=lambda k: -l1[k])
-    # always forward the top raw-score disconnected candidates as well:
-    # the reference's minScore pre-filter exists to bound the number of
-    # expensive per-candidate Sim3 verifications, but it also silently
-    # drops genuine revisits whose similarity sits just under the densest
-    # covisibility neighbor's (drifted viewpoints).  Our Sim3 verification
-    # is one batched RANSAC + LM per candidate — cheap — so the gate
-    # moves from score space to geometry space (>=20 LM inliers, >=40
-    # total matches, 3-KF temporal consistency still apply).  ORB-SLAM3
-    # made the same redesign for the same reason (common-regions
-    # detection without the minScore gate).
-    extra = [int(k) for k in np.argsort(-l1)[:2] if l1[k] > 0.0]
+    # also forward the top raw-score disconnected candidates even when the
+    # covisibility-group accumulation filtered them: the reference's
+    # 0.75*bestAccScore filter can drop genuine revisits whose covis group
+    # is thin (drifted viewpoints re-enter as a parallel map).  Our Sim3
+    # verification is one batched RANSAC + LM per candidate — cheap — so
+    # these extras ride to the geometry gates (>=20 LM inliers, >=40 total
+    # matches, 3-KF temporal consistency).  ORB-SLAM3 made the same
+    # redesign (common-regions detection without the group filter).
+    # Precision floor: measured on the 520-frame multi-revisit corridor
+    # (tools/measure_placerec_recall.py), every spatially-correct
+    # candidate scores >= 1.42x minScore while impostors cluster below
+    # 1.3x — an unconditioned top-2 forwarding costs 0.2 precision for no
+    # recall gain, so the extras must clear 1.3x minScore.
+    floor = 1.3 * min_score
+    extra = [int(k) for k in np.argsort(-l1)[:2] if l1[k] > max(floor, 0.0)]
     out = list(dict.fromkeys(out + extra))
     return out[:n_candidates]
 

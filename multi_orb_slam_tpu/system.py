@@ -170,8 +170,15 @@ class System:
         self._reset_requested = True
 
     def shutdown(self):
-        """No free-running threads to join in this design; kept for API
-        parity (reference System::Shutdown, System.cc:328-351)."""
+        """Fold in any still-pending asynchronous GBA (the reference's
+        Shutdown waits on isRunningGBA, System.cc:343-347); no free-running
+        threads to join in this design."""
+        self._flush_gba()
+
+    def _flush_gba(self):
+        if self.loop_closer is not None:
+            self.tracker.map = self.loop_closer.merge_pending_gba(
+                self.tracker.map)
 
     def get_tracking_state(self) -> int:
         return self.tracker.state
@@ -214,6 +221,7 @@ class System:
     # ------------------------------------------------------------------
 
     def save_trajectory_tum(self, path: str):
+        self._flush_gba()
         frames = [
             (ts, Tcw) for _, ts, Tcw, lost in self.tracker.absolute_trajectory()
             if not lost
@@ -221,6 +229,7 @@ class System:
         tum.write_trajectory_tum(path, frames)
 
     def save_keyframe_trajectory_tum(self, path: str):
+        self._flush_gba()
         state = self.map
         rows = []
         for k in range(state.kf_valid.shape[0]):
@@ -232,6 +241,7 @@ class System:
         tum.write_trajectory_tum(path, [(ts, T) for _, ts, T in rows])
 
     def save_trajectory_kitti(self, path: str):
+        self._flush_gba()
         poses = [Tcw for _, _, Tcw, lost in self.tracker.absolute_trajectory()
                  if not lost]
         tum.write_trajectory_kitti(path, poses)

@@ -42,7 +42,12 @@ class TestLocalMappingIntegration:
         assert rmse < 0.05, f"ATE RMSE with local BA {rmse:.4f} m"
 
     def test_cull_keyframes_removes_redundant(self):
-        # build a tiny map where kf1's points are all seen by 4 other KFs
+        # 5 KFs all observing the same 20 close points at octave 0: slots
+        # 1-3 are mutually redundant.  Serial culling (the reference's loop,
+        # LocalMapping.cc:966-1038) erases victims one at a time, each
+        # erasure shrinking later support counts: after two culls every
+        # point has 3 observers, so a third cull (support 2 < 3) must NOT
+        # happen — the multi-victim scan must reproduce exactly that.
         from multi_orb_slam_tpu.mapping import map_state as ms
         cfg = small_cfg()
         state = ms.make_empty(8, 1, 16, 128)
@@ -55,13 +60,55 @@ class TestLocalMappingIntegration:
             kf_mp=kf_mp,
             kf_valid=state.kf_valid.at[:5].set(True),
             kf_feat_valid=state.kf_feat_valid.at[:5].set(True),
+            kf_depth=state.kf_depth.at[:5, :, :n_pts].set(
+                0.5 * cfg.th_depth),  # close points (the RGB-D gate)
             mp_valid=state.mp_valid.at[:n_pts].set(True),
             n_kf=jnp.asarray(5, jnp.int32),
         )
         out = local_mapping.cull_keyframes(state, jnp.asarray(4, jnp.int32), cfg)
-        # one redundant KF culled (not slot 0, not center 4)
-        assert int(out.n_kf) == 4
+        # two redundant KFs culled (never slot 0 or center 4); a third cull
+        # would leave points with only 2 observers
+        assert int(out.n_kf) == 3
         assert bool(out.kf_valid[0]) and bool(out.kf_valid[4])
+        # erased keyframes must have dropped their observation rows
+        erased = [k for k in range(1, 4) if not bool(out.kf_valid[k])]
+        assert len(erased) == 2
+        for k in erased:
+            assert int(jnp.sum(out.kf_mp[k] >= 0)) == 0
+
+    def test_cull_keyframes_octave_condition(self):
+        # supporters must observe at the same-or-finer octave: 4 KFs observe
+        # the same close points but 3 of them at a much COARSER level (3),
+        # so for the candidate's level-0 observations only level <= 1
+        # observers count and nothing may be culled
+        from multi_orb_slam_tpu.mapping import map_state as ms
+        cfg = small_cfg()
+        state = ms.make_empty(8, 1, 16, 128)
+        n_pts = 20
+        kf_mp = state.kf_mp
+        kf_level = state.kf_level
+        for k in range(5):
+            for j in range(n_pts):
+                kf_mp = kf_mp.at[k, 0, j].set(j)
+                kf_level = kf_level.at[k, 0, j].set(0 if k in (1, 4) else 3)
+        state = state._replace(
+            kf_mp=kf_mp, kf_level=kf_level,
+            kf_valid=state.kf_valid.at[:5].set(True),
+            kf_feat_valid=state.kf_feat_valid.at[:5].set(True),
+            kf_depth=state.kf_depth.at[:5, :, :n_pts].set(
+                0.5 * cfg.th_depth),
+            mp_valid=state.mp_valid.at[:n_pts].set(True),
+            n_kf=jnp.asarray(5, jnp.int32),
+        )
+        out = local_mapping.cull_keyframes(state, jnp.asarray(4, jnp.int32), cfg)
+        # slot 1 (level-0 observations) has same-or-finer supporters only at
+        # level <= 1, i.e. just KF4 -> 1 < 3 -> MUST be kept despite four
+        # coarse observers.  Slots 2 and 3 (level-3 observations) count all
+        # other KFs (levels 0 and 3 <= 3+1) as supporters: 2 is culled with
+        # 4 supporters, then 3 still has 3 (KFs 0, 1, 4) and is culled too.
+        assert int(out.n_kf) == 3
+        assert bool(out.kf_valid[1])
+        assert not bool(out.kf_valid[2]) and not bool(out.kf_valid[3])
 
 
 class TestAdaptiveWindow:

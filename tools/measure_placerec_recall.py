@@ -179,6 +179,16 @@ def main():
     print(f"candidates: {n_cand}  spatially correct: {n_cand_ok}  "
           f"precision: {precision:.2f}")
     print(f"loops closed: {lc.n_loops_closed}")
+    import json
+    print(json.dumps({
+        "metric": "placerec_moving_revisit", "n_frames": int(nf),
+        "vocab_words": int(voc.n_words),
+        "revisit_queries": int(n_rev), "detected": int(n_hit),
+        "recall": round(float(recall), 3),
+        "candidates": int(n_cand), "correct_candidates": int(n_cand_ok),
+        "precision": round(float(precision), 3),
+        "loops_closed": int(lc.n_loops_closed),
+    }))
 
 
 if __name__ == "__main__":
