@@ -51,7 +51,24 @@ class SlamConfig(NamedTuple):
     scale_factor: float = 1.2
     n_levels: int = 8
     th_depth: float = 3.1       # close/far split in meters (bf*ThDepth/fx)
-    min_frames_kf: int = 0      # reference: 0 (Tracking.cc:102-108)
+    min_frames_kf: int = 3      # The reference's value is 0
+                                # (Tracking.cc:102-108) but its effective
+                                # cadence is throttled by the mapping-idle
+                                # condition (Tracking.cc:1488-1508: a
+                                # need-driven KF is deferred or dropped
+                                # while LocalMapping is busy).  Our mapping
+                                # stage occupies the device ~3-4 frame
+                                # times, so a 3-frame floor is the
+                                # deterministic equivalent; without it a
+                                # chronically-firing bNeedToInsertClose
+                                # inserts (and promptly culls) a keyframe
+                                # every 1-2 frames.
+    kf_close_tracked: int = -1  # bNeedToInsertClose thresholds
+    kf_close_untracked: int = -1  # (Tracking.cc:1464-1477: <100 tracked
+                                # close & >70 untracked close).  The
+                                # reference values assume its 1000+500
+                                # feature budget; -1 auto-scales them by
+                                # total features / 1500.
     max_frames_kf: int = 30     # reference: fps
     min_inliers_track: int = 30 # TrackLocalMap accept gate (Tracking.cc:1396)
     min_matches_motion: int = 20

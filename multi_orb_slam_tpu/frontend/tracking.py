@@ -517,7 +517,9 @@ def track_frame_fused(
 
     # keyframe decision (NeedNewKeyFrame) on device
     since_kf = frame_id - last_kf_frame
-    need_close = (n_ct < 100) & (n_cu > 70)
+    C, F = cur.desc.shape[0], cur.desc.shape[1]
+    tct, tcu = close_point_thresholds(cfg, C * F)
+    need_close = (n_ct < tct) & (n_cu > tcu)
     weak = n_inl3 < (cfg.kf_ref_ratio
                      * jnp.maximum(ref_kf_tracked, 1).astype(jnp.float32))
     capacity = state3.n_kf < cfg.max_kf - 1
@@ -580,6 +582,18 @@ def track_frame_fused_images(
         state, prev, prev_Tcw, prev_mp, velocity, tstate, fr, calib, cfg,
         frame_id)
     return (fr,) + tuple(out)
+
+
+def close_point_thresholds(cfg: SlamConfig, total_feat: int):
+    """bNeedToInsertClose thresholds (Tracking.cc:1464-1477: 100 / 70),
+    auto-scaled from the reference's 1000+500 feature budget to ours when
+    the config leaves them at -1.  Static (python ints) under jit."""
+    scale = total_feat / 1500.0
+    tct = cfg.kf_close_tracked if cfg.kf_close_tracked > 0 else int(
+        round(100 * scale))
+    tcu = cfg.kf_close_untracked if cfg.kf_close_untracked > 0 else int(
+        round(70 * scale))
+    return tct, tcu
 
 
 class TrackState:
@@ -841,7 +855,9 @@ class Tracker:
         since_kf = self.frame_id - self.last_kf_frame
         # need close points: few tracked close + enough untracked candidates
         # (the reference's bNeedToInsertClose, Tracking.cc:1477)
-        need_close = (n_close_tracked < 100 and n_close_untracked > 70)
+        tct, tcu = close_point_thresholds(
+            cfg, cfg.n_cams * fr.desc.shape[1])
+        need_close = (n_close_tracked < tct and n_close_untracked > tcu)
         weak_tracking = n_inl < cfg.kf_ref_ratio * max(self.ref_kf_tracked, 1)
         need_kf = (
             not self.only_tracking and n_inl > 15
