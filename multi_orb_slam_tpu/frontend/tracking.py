@@ -554,7 +554,15 @@ def track_frame_fused(
         ok.astype(jnp.int32), n_inl3, inserted, kf_slot,
         state4.n_kf, n_ct, n_cu, n_match2,
     ])
-    return state4, Tcw_out, fmp4, vel_out, tstate_new, scalars
+    # trajectory bookkeeping outputs: the current reference keyframe and
+    # its pose, so the host records Tcr without dispatching an extra
+    # per-frame gather (each dispatch costs ~1 ms on a remote-attached
+    # chip); also always fresher than the host's pipelined-lagging slot
+    ref_slot_out = jnp.argmax(
+        jnp.where(state4.kf_valid, state4.kf_frame_id, -1)).astype(jnp.int32)
+    ref_pose_out = state4.kf_Tcw[ref_slot_out]
+    return (state4, Tcw_out, fmp4, vel_out, tstate_new, scalars,
+            ref_slot_out, ref_pose_out)
 
 
 @partial(jax.jit, static_argnums=(9,))
@@ -677,11 +685,12 @@ class Tracker:
         tstate = self._tstate_dev.at[2].set(1 if self.only_tracking else 0)
         fid = jnp.asarray(self.frame_id, jnp.int32)
         (fr, self.map, self.Tcw, frame_mp, self.velocity,
-         self._tstate_dev, scalars) = track_frame_fused_images(
-            self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
-            self.velocity, tstate, grays, depths, self.calib, cfg, fid)
+         self._tstate_dev, scalars, ref_slot, ref_pose) = \
+            track_frame_fused_images(
+                self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
+                self.velocity, tstate, grays, depths, self.calib, cfg, fid)
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
-        self._record()
+        self._record(ref_slot, ref_pose)
         self._push_pending(scalars)
         self.frame_id += 1
         return self.state
@@ -745,11 +754,11 @@ class Tracker:
         tstate = self._tstate_dev.at[2].set(1 if self.only_tracking else 0)
         fid = jnp.asarray(self.frame_id, jnp.int32)
         (self.map, self.Tcw, frame_mp, self.velocity,
-         self._tstate_dev, scalars) = track_frame_fused(
+         self._tstate_dev, scalars, ref_slot, ref_pose) = track_frame_fused(
             self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
             self.velocity, tstate, fr, self.calib, cfg, fid)
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
-        self._record()
+        self._record(ref_slot, ref_pose)
         self._push_pending(scalars)
         self.frame_id += 1
         return self.state
@@ -888,12 +897,18 @@ class Tracker:
         self.frame_id += 1
         return self.state
 
-    def _record(self):
+    def _record(self, ref_slot=None, ref_pose=None):
         # store device arrays only -- no host sync on the frame path; the
-        # relative pose is formed lazily at export time
+        # relative pose is formed lazily at export time.  The fused path
+        # passes the reference slot/pose straight from the step outputs
+        # (saves one gather dispatch per frame and is fresher than the
+        # host's pipelined-lagging last_kf_slot).
+        if ref_pose is None:
+            ref_slot = self.last_kf_slot
+            ref_pose = self.map.kf_Tcw[self.last_kf_slot]
         self.trajectory.append((
-            self.frame_id, self._ts, self.last_kf_slot,
-            (self.Tcw, self.map.kf_Tcw[self.last_kf_slot]),
+            self.frame_id, self._ts, ref_slot,
+            (self.Tcw, ref_pose),
             self.state != TrackState.OK,
         ))
 
@@ -906,7 +921,7 @@ class Tracker:
         out = []
         for fid, ts, ref, (Tcw_rec, ref_pose_rec), lost in self.trajectory:
             Tcr = np.asarray(Tcw_rec) @ np.linalg.inv(np.asarray(ref_pose_rec))
-            out.append((fid, ts, Tcr @ kf_Tcw[ref], lost))
+            out.append((fid, ts, Tcr @ kf_Tcw[int(np.asarray(ref))], lost))
         return out
 
 

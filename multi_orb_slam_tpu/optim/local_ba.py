@@ -233,13 +233,16 @@ def solve_ba(
             rho_c = jnp.where(
                 use_huber & (r > delta), delta * (2.0 * r - delta), chi2)
             total = jnp.sum(jnp.where(act, rho_c, 0.0))
-            return (Hcc, bc, Hpp, bp, Wcp, total)
+            # chi2/posd ride in the carry so the phase-boundary re-gate and
+            # the final inlier gate reuse THIS pass instead of paying an
+            # extra residual evaluation each (~2 passes per solve saved)
+            return (Hcc, bc, Hpp, bp, Wcp, chi2, posd, total)
 
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
 
     def solve_step(lin, lam):
-        Hcc, bc, Hpp, bp, Wcp, _ = lin
+        Hcc, bc, Hpp, bp, Wcp = lin[:5]
 
         # Multiplicative LM damping: scales with each block, keeping
         # the f32 condition number bounded (absolute damping NaNs the
@@ -298,12 +301,14 @@ def solve_ba(
         dp = dp * prob.mp_valid[:, None]
         return dxc, dp
 
-    def fresh_gate(kf_Tcw, mp_pos):
-        """Between-phase / final chi2 gate (Optimizer.cc:1212-1259)."""
-        e, _, _, is_st, posd = residual_state(kf_Tcw, mp_pos)
-        chi2 = chi2_of(e, is_st)
-        th = jnp.where(is_st, CHI2_STEREO, CHI2_MONO)
-        return obs_valid & (chi2 <= th) & posd
+    # stereo flag / chi2 threshold per observation is state-independent
+    th_const = jnp.where(obs_uvr[:, 2] >= 0, CHI2_STEREO, CHI2_MONO)
+
+    def gate_from(lin):
+        """Between-phase / final chi2 gate (Optimizer.cc:1212-1259),
+        evaluated from the chi2/posd carried in the linearization."""
+        chi2v, posdv = lin[5], lin[6]
+        return obs_valid & (chi2v <= th_const) & posdv
 
     # schedule as data: per-iteration Huber flag + gate-before-iteration
     # flag, consumed by ONE device loop
@@ -312,27 +317,33 @@ def solve_ba(
     starts = np.cumsum([0] + iters_list[:-1])
     huber_np = np.zeros(max(n_total, 1), bool)
     gate_np = np.zeros(max(n_total, 1), bool)
+    next_b_np = np.zeros(max(n_total, 1), np.int32)
     for ph, (it0, nit) in enumerate(zip(starts, iters_list)):
         huber_np[it0:it0 + nit] = bool(phases[ph][1])
+        next_b_np[it0:it0 + nit] = it0 + nit
         if ph > 0 and chi2_gate_between:
             gate_np[it0] = True
     last_start = int(starts[-1]) if len(starts) else 0
     huber_arr = jnp.asarray(huber_np)
     gate_arr = jnp.asarray(gate_np)
+    next_b_arr = jnp.asarray(next_b_np)
 
     def cond_fn(carry):
         it, _, _, _, _, _, conv = carry
-        return (it < n_total) & (conv < 2)
+        # stagnation in the FINAL phase ends the schedule (the jump out of
+        # earlier phases happens in the body)
+        return (it < n_total) & ((conv < 2) | (it < last_start))
 
     def body_fn(carry):
         it, kf_cur, mp_cur, active, lin, lam, conv = carry
         use_huber = huber_arr[it]
 
         def regate(_):
-            # phase boundary: re-gate actives at the current state and
-            # re-linearize under the new mask / Huber flag; LM restarts
-            # its damping like a fresh optimize() call
-            a = fresh_gate(kf_cur, mp_cur)
+            # phase boundary: re-gate actives at the current state (from
+            # the carried chi2 — no extra residual pass) and re-linearize
+            # under the new mask / Huber flag; LM restarts its damping
+            # like a fresh optimize() call
+            a = gate_from(lin)
             return a, linearize(kf_cur, mp_cur, a, use_huber), \
                 jnp.asarray(1e-4, dtype)
 
@@ -351,16 +362,21 @@ def solve_ba(
             lambda a, b: jnp.where(accept, a, b), lin_t, lin)
         lam_out = jnp.clip(
             jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e8)
-        # early-exit bookkeeping: two consecutive no-progress iterations in
-        # the FINAL phase end the schedule.  A REJECTED step is only
-        # no-progress once lambda has grown large (a rejection right after
-        # the phase-boundary lambda reset is normal LM adaptation, not
-        # stagnation — counting those exits after 2 iterations and was
-        # measured to cost 0.14 m on the relocalization recovery test)
+        # early-exit bookkeeping: two consecutive no-progress iterations
+        # end the phase — in the final phase that ends the schedule
+        # (cond_fn); in an earlier phase the loop JUMPS to the next phase
+        # boundary, where gate_arr triggers the re-gate + re-linearize.
+        # A REJECTED step is only no-progress once lambda has grown large
+        # (a rejection right after the phase-boundary lambda reset is
+        # normal LM adaptation, not stagnation — counting those exited
+        # after 2 iterations and cost 0.14 m on the reloc recovery test)
         no_prog = jnp.where(accept, rel_dec < early_exit_rtol,
                             lam_out >= 1e2)
-        conv_out = jnp.where((it >= last_start) & no_prog, conv + 1, 0)
-        return (it + 1, kf_out, mp_out, active, lin_out, lam_out, conv_out)
+        conv_t = jnp.where(no_prog, conv + 1, 0)
+        jump = (conv_t >= 2) & (it < last_start)
+        it_out = jnp.where(jump, next_b_arr[it], it + 1)
+        conv_out = jnp.where(jump, 0, conv_t)
+        return (it_out, kf_out, mp_out, active, lin_out, lam_out, conv_out)
 
     kf_Tcw = prob.kf_Tcw
     mp_pos = prob.mp_pos
@@ -368,8 +384,10 @@ def solve_ba(
     lin0 = linearize(kf_Tcw, mp_pos, active0, huber_arr[0])
     init = (jnp.asarray(0, jnp.int32), kf_Tcw, mp_pos, active0, lin0,
             jnp.asarray(1e-4, dtype), jnp.asarray(0, jnp.int32))
-    _, kf_Tcw, mp_pos, _, _, _, _ = jax.lax.while_loop(
+    _, kf_Tcw, mp_pos, _, lin_fin, _, _ = jax.lax.while_loop(
         cond_fn, body_fn, init)
 
-    active = fresh_gate(kf_Tcw, mp_pos)
+    # final inlier gate from the carried chi2 of the last ACCEPTED state
+    # (lin_fin tracks kf_Tcw/mp_pos exactly: rejected trials are not merged)
+    active = gate_from(lin_fin)
     return kf_Tcw, mp_pos, active.reshape(L, C, F)
