@@ -38,67 +38,67 @@ _FAST_OFFSETS = np.array(
 )
 
 _R = 3          # circle radius
-_CHUNK = 64     # row chunk processed per inner iteration
+_BAND = 64      # output rows per grid program
 
 
-def _fast_kernel(img_ref, out_ref):
-    """One program scores one full image level held in VMEM.
+def _fast_kernel(img_ref, out_ref, win, sem):
+    """One program scores one _BAND-row band of the image.
 
-    Processes the image in row chunks; for each chunk the 16 ring samples
-    come from statically-shifted slices of the padded VMEM image, and the
-    16 wrapped 9-arcs are reduced with an unrolled min/max chain.
+    The padded image stays in HBM; each program DMAs its band plus the
+    ring halo into VMEM (gridding by bands bounds VMEM at any image width
+    — the whole-image-in-VMEM formulation OOMs at KITTI's 376x1241).  The
+    16 ring samples come from statically-shifted slices of the VMEM
+    window; the 16 wrapped 9-arcs reduce with an unrolled min/max chain.
     """
-    H, W = out_ref.shape
-    img = img_ref[...]  # [H + 2R, W + 2R] padded by caller
-
-    n_chunks = (H + _CHUNK - 1) // _CHUNK
-    for ci in range(n_chunks):
-        r0 = ci * _CHUNK
-        ch = min(_CHUNK, H - r0)
-        center = img[r0 + _R:r0 + _R + ch, _R:_R + W]
-        ds = []
-        for dy, dx in _FAST_OFFSETS:
-            ring = img[r0 + _R + dy:r0 + _R + dy + ch,
-                       _R + dx:_R + dx + W]
-            ds.append(ring - center)
-        # wrapped arcs of 9 consecutive samples
-        bright = None
-        dark = None
-        for k in range(16):
-            amin = ds[k % 16]
-            amax = ds[k % 16]
-            for j in range(1, 9):
-                d = ds[(k + j) % 16]
-                amin = jnp.minimum(amin, d)
-                amax = jnp.maximum(amax, d)
-            bright = amin if bright is None else jnp.maximum(bright, amin)
-            dark = -amax if dark is None else jnp.maximum(dark, -amax)
-        out_ref[r0:r0 + ch, :] = jnp.maximum(bright, dark)
+    i = pl.program_id(0)
+    B, W = out_ref.shape
+    cp = pltpu.make_async_copy(
+        img_ref.at[pl.ds(i * B, B + 16), :], win, sem)
+    cp.start()
+    cp.wait()
+    img = win[...]
+    center = img[_R:_R + B, _R:_R + W]
+    ds = []
+    for dy, dx in _FAST_OFFSETS:
+        ds.append(img[_R + dy:_R + dy + B, _R + dx:_R + dx + W] - center)
+    # wrapped arcs of 9 consecutive samples
+    bright = None
+    dark = None
+    for k in range(16):
+        amin = ds[k % 16]
+        amax = ds[k % 16]
+        for j in range(1, 9):
+            d = ds[(k + j) % 16]
+            amin = jnp.minimum(amin, d)
+            amax = jnp.maximum(amax, d)
+        bright = amin if bright is None else jnp.maximum(bright, amin)
+        dark = -amax if dark is None else jnp.maximum(dark, -amax)
+    out_ref[...] = jnp.maximum(bright, dark)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _fast_score_pallas_2d(img: jnp.ndarray, h: int, w: int,
                           interpret: bool = False) -> jnp.ndarray:
-    # Asymmetric padding keeps BOTH the padded input and the output
-    # (8, 128)-aligned in their last two dims, so the kernel stays legal
-    # under vmap batching (the batch dim may land between them and the
-    # Mosaic block check then inspects each dim separately).  The kernel
-    # only requires a >= _R margin at the top-left.
-    hp = (h + 7) // 8 * 8
+    # pad to a whole number of bands (rows) and lanes (cols), plus the
+    # ring halo; the kernel only requires a >= _R margin at the top-left
+    hp = (h + _BAND - 1) // _BAND * _BAND
     wp = (w + 127) // 128 * 128
-    padded = jnp.pad(img, ((_R, hp + 8 - h - _R), (_R, wp + 128 - w - _R)))
-    # explicit unit grid + full-size blocks: under vmap the batch dim then
-    # prepends cleanly as a leading grid axis (a gridless full-VMEM spec
-    # gets its batch dim inserted between the image dims, which Mosaic
-    # rejects for unaligned shapes)
+    padded = jnp.pad(img, ((_R, hp + 16 - h - _R), (_R, wp + 128 - w - _R)))
     out = pl.pallas_call(
         _fast_kernel,
-        grid=(1,),
-        in_specs=[pl.BlockSpec((hp + 8, wp + 128), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((hp, wp), lambda i: (0, 0),
+        grid=(hp // _BAND,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((_BAND, wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), img.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_BAND + 16, wp + 128), img.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        # the 16 live ring-difference arrays exceed the default 16 MiB
+        # scoped-vmem budget at KITTI widths; a v5e has 128 MiB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(padded)
     return out[:h, :w]
@@ -114,9 +114,14 @@ def fast_score_pallas(img: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     h, w = img.shape[-2], img.shape[-1]
     if img.ndim == 2:
         return _fast_score_pallas_2d(img, h, w, interpret)
+    # batch via an unrolled loop, not vmap: the pallas vmap batching rule
+    # inserts the batch dim before the minor dims, which Mosaic rejects
+    # for non-(8,128)-aligned shapes (NOTES_ROUND2 gotcha #3)
     batch = img.shape[:-2]
     flat = img.reshape((-1, h, w))
-    out = jax.vmap(lambda x: _fast_score_pallas_2d(x, h, w, interpret))(flat)
+    out = jnp.stack([
+        _fast_score_pallas_2d(flat[i], h, w, interpret)
+        for i in range(flat.shape[0])])
     return out.reshape(batch + (h, w))
 
 
@@ -334,6 +339,16 @@ def gather_patches_pallas(canvas, level, y0, x0, side: int,
     """
     assert side <= _WROW - 8 and side <= _WCOL - 128
     H, W = canvas.shape[1], canvas.shape[2]
+    # Mosaic requires the per-level memref slice to be tiling-aligned:
+    # sublane dim (H) a multiple of 8 and lane dim (W) a multiple of 128,
+    # and the DMA window needs H >= _WROW, W >= _WCOL.  640x480 is
+    # accidentally aligned; 320-wide or KITTI-width canvases are not
+    # (NOTES_ROUND2 §3 crash) — pad here, once, in HBM.
+    Hp = max(-(-H // 8) * 8, _WROW)
+    Wp = max(-(-W // 128) * 128, _WCOL)
+    if (Hp, Wp) != (H, W):
+        canvas = jnp.pad(canvas, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        H, W = Hp, Wp
     F = level.shape[0]
     # aligned window origins + in-window offsets
     yb = jnp.minimum((y0 // 8) * 8, H - _WROW).astype(jnp.int32)
