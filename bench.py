@@ -82,14 +82,23 @@ def main():
 
     tracker = tracking.Tracker(calib, cfg, pipelined=True, pipeline_depth=3)
     n_kf_mapped = [0]
+    covis_pending = [None]
 
     def kf_cb(kf_slot):
         # async, like the reference's mapping thread: dispatch the mapping
         # work and return the (device-future) map; the tracker's next step
-        # chains on it without a host sync
+        # chains on it without a host sync.  The adaptive-BA window hint is
+        # the previous KF's covisible count (resolved one KF later).
         n_kf_mapped[0] += 1
-        return local_mapping.run_mapping_stage(
-            tracker.map, kf_slot, tracker.frame_id, calib, cfg)
+        hint = (int(covis_pending[0])
+                if covis_pending[0] is not None else None)
+        m = local_mapping.run_mapping_stage(
+            tracker.map, kf_slot, tracker.frame_id, calib, cfg,
+            covis_hint=hint)
+        if cfg.ba_adaptive:
+            covis_pending[0] = local_mapping.covis_kf_count(
+                m, jnp.asarray(kf_slot, jnp.int32))
+        return m
 
     tracker.kf_inserted_cb = kf_cb
 

@@ -40,11 +40,15 @@ class SlamConfig(NamedTuple):
                                 # of the deployment (12 covers the measured
                                 # sets of the benchmark sequences)
     ba_fixed_kfs: int = 12      # local-BA window: fixed observer keyframes
-    ba_adaptive: bool = False   # size the local-BA window to the covisible
-                                # set per keyframe (reference semantics,
+    ba_adaptive: bool = True    # size the local-BA window to the covisible
+                                # set per keyframe (reference semantics:
+                                # the FULL covisible neighborhood is freed,
                                 # Optimizer.cc:936-1014) by bucketing
-                                # (n_free, n_fixed) over compiled variants;
-                                # costs one host sync per KF insertion
+                                # (n_free, n_fixed) over compiled variants
+                                # (12/16/24/32); costs one host sync per KF
+                                # insertion — the mapping dispatch is
+                                # already async from the tracker, so the
+                                # sync is off the frame path
     new_mp_per_cam: int = 192   # close points created per camera per KF
     width: int = 640
     height: int = 480

@@ -227,6 +227,7 @@ def run_mapping_stage(
     do_fuse: bool = True,
     do_ba: bool = True,
     do_cull: bool = True,
+    covis_hint: int | None = None,
 ) -> ms.MapState:
     """The full mapping pass after a keyframe insertion.
 
@@ -237,13 +238,20 @@ def run_mapping_stage(
     syncs (the reference hides mapping latency in a thread; we hide it in
     the device pipeline — the tracker's next fused step chains on the new
     map without the host ever blocking).
+
+    `covis_hint`: a caller-provided covisible-keyframe count for adaptive
+    window sizing.  Pass the PREVIOUS keyframe's count (dispatched async
+    via `covis_kf_count` and read one KF later, by which time it has
+    resolved) to keep this call sync-free; with `ba_adaptive` and no hint,
+    the count is computed here at the cost of draining the device queue.
     """
     n_free, n_fixed = cfg.ba_free_kfs, cfg.ba_fixed_kfs
     if cfg.ba_adaptive:
         # size the window to the actual covisible set (the reference frees
         # the FULL covisible neighborhood, Optimizer.cc:936-1014); bucketed
-        # static shapes keep XLA happy at the cost of one host sync here
-        n_cov = int(covis_kf_count(state, jnp.asarray(kf_slot, jnp.int32)))
+        # static shapes keep XLA happy
+        n_cov = covis_hint if covis_hint is not None else int(
+            covis_kf_count(state, jnp.asarray(kf_slot, jnp.int32)))
         for nf in _BA_WINDOW_BUCKETS:
             if nf >= n_cov + 1:
                 break

@@ -88,6 +88,7 @@ class System:
             lambda: self.loop_closer is not None
             and self.loop_closer.voc is not None)
         self._reset_requested = False
+        self._covis_pending = None  # async covis-count for ba_adaptive
         self.metrics = metrics_mod.Metrics()
 
     # ------------------------------------------------------------------
@@ -95,11 +96,19 @@ class System:
     # ------------------------------------------------------------------
 
     def _on_keyframe(self, kf_slot: int):
+        # adaptive-window hint: the PREVIOUS keyframe's covisible count,
+        # dispatched async below and resolved here one KF later (by which
+        # time the device has finished it — no pipeline stall)
+        hint = (int(self._covis_pending)
+                if self._covis_pending is not None else None)
         with self.metrics.span("mapping_stage"):
             m = local_mapping.run_mapping_stage(
                 self.tracker.map, kf_slot, self.tracker.frame_id,
-                self.calib, self.cfg,
+                self.calib, self.cfg, covis_hint=hint,
             )
+        if self.cfg.ba_adaptive:
+            self._covis_pending = local_mapping.covis_kf_count(
+                m, jnp.asarray(kf_slot, jnp.int32))
         if self.loop_closer is not None:
             with self.metrics.span("loop_stage"):
                 m = self.loop_closer.process_keyframe(m, kf_slot)
