@@ -21,6 +21,8 @@ structural analysis this is built against.
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # SLAM geometry is numerically unforgiving: pose chains (Tcw compositions),
@@ -34,4 +36,12 @@ import jax as _jax
 # systemic.  Hot kernels that tolerate bf16 (image convolutions,
 # descriptor popcount sums — integer ops are unaffected) opt back in
 # locally with an explicit precision argument.
-_jax.config.update("jax_default_matmul_precision", "float32")
+#
+# NOTE: this mutates PROCESS-GLOBAL JAX config at import, which changes the
+# numerics/perf defaults of unrelated JAX code sharing the process.  Set
+# MULTI_ORB_SLAM_NO_PRECISION_OVERRIDE=1 to opt out — but then every SLAM
+# entry point must run under
+# `with jax.default_matmul_precision("float32"): ...` or the geometry NaNs
+# on TPU (see above).
+if not _os.environ.get("MULTI_ORB_SLAM_NO_PRECISION_OVERRIDE"):
+    _jax.config.update("jax_default_matmul_precision", "float32")

@@ -75,6 +75,20 @@ class SlamConfig(NamedTuple):
                                 # total features / 1500.
     max_frames_kf: int = 30     # reference: fps
     min_inliers_track: int = 30 # TrackLocalMap accept gate (Tracking.cc:1396)
+    kf_weak_abs: int = -1       # absolute weak-tracking KF trigger: insert
+                                # (after min_frames_kf) once inliers fall
+                                # below this, regardless of the reference-KF
+                                # ratio.  -1 = 2*min_inliers_track.  Guards a
+                                # failure mode the reference cannot hit: its
+                                # weak-ratio base is the ref KF's map-derived
+                                # TrackedMapPoints (hundreds), ours is
+                                # inliers-at-insertion — after one weak
+                                # insertion (e.g. 46 inliers) the ratio
+                                # trigger (0.6*46=28) lands BELOW the LOST
+                                # gate (30) and tracking dies before any
+                                # keyframe can fire (observed on the
+                                # outward-facing circuit at wall closest
+                                # approach).
     min_matches_motion: int = 20
     kf_ref_ratio: float = 0.60  # NeedNewKeyFrame weak-tracking ratio.  The
                                 # reference compares current inliers to the

@@ -418,7 +418,18 @@ def track_local_map(
     ].max(obs_valid.reshape(-1))
     local_mask = local_mask & state.mp_valid & ~in_frame
 
-    pts = search.gather_local_points(state, local_mask, cfg.local_cap)
+    # relevance ranking for the capped gather: a point inherits the largest
+    # share weight among the local keyframes observing it, so the points of
+    # the KFs most covisible with THIS frame fill the batch first (the
+    # reference searches the full unbounded local set)
+    w_row = kf_w[lk].astype(jnp.float32)
+    rel = jnp.zeros(M, jnp.float32).at[
+        jnp.where(obs_valid, obs_of_local, M - 1).reshape(-1)
+    ].max(jnp.where(obs_valid,
+                    w_row[:, None],
+                    -jnp.inf).reshape(-1))
+    pts = search.gather_local_points(state, local_mask, cfg.local_cap,
+                                     priority=rel)
     taken = frame_mp >= 0
     new_mp, visible = search.search_points_in_frame(
         pts, cur.xy_und, cur.uright, cur.level, cur.desc, cur.valid, taken,
@@ -520,8 +531,11 @@ def track_frame_fused(
     C, F = cur.desc.shape[0], cur.desc.shape[1]
     tct, tcu = close_point_thresholds(cfg, C * F)
     need_close = (n_ct < tct) & (n_cu > tcu)
-    weak = n_inl3 < (cfg.kf_ref_ratio
-                     * jnp.maximum(ref_kf_tracked, 1).astype(jnp.float32))
+    weak_abs = (cfg.kf_weak_abs if cfg.kf_weak_abs > 0
+                else 2 * cfg.min_inliers_track)
+    weak = (n_inl3 < (cfg.kf_ref_ratio
+                      * jnp.maximum(ref_kf_tracked, 1).astype(jnp.float32))
+            ) | (n_inl3 < weak_abs)
     capacity = state3.n_kf < cfg.max_kf - 1
     need_kf = (
         ok & ~only_tracking & capacity & (n_inl3 > 15)
@@ -561,8 +575,12 @@ def track_frame_fused(
     ref_slot_out = jnp.argmax(
         jnp.where(state4.kf_valid, state4.kf_frame_id, -1)).astype(jnp.int32)
     ref_pose_out = state4.kf_Tcw[ref_slot_out]
+    # the reference KF's frame id rides along so the export path can detect
+    # slot recycling (a culled ref KF whose slot was reused would otherwise
+    # anchor the recorded relative pose to an arbitrary new keyframe)
+    ref_fid_out = state4.kf_frame_id[ref_slot_out]
     return (state4, Tcw_out, fmp4, vel_out, tstate_new, scalars,
-            ref_slot_out, ref_pose_out)
+            ref_slot_out, ref_pose_out, ref_fid_out)
 
 
 @partial(jax.jit, static_argnums=(9,))
@@ -618,6 +636,7 @@ class Tracker:
         self.calib = calib
         self.cfg = cfg
         self.kf_inserted_cb = None
+        self.reset_cb = None  # notified on reset (System: loop-closer reset)
         self.reloc_cb = None  # fn(FrameData) -> (ok, Tcw, frame_mp, n_inl)
         self.reloc_ready_fn = lambda: True  # is a reloc database usable?
         self.only_tracking = False  # localization mode (System.h:75-78)
@@ -635,8 +654,13 @@ class Tracker:
 
     def reset(self):
         """Tracking::Reset (src/Tracking.cc:2160-2206): clear the map and
-        all per-frame state."""
+        all per-frame state.  Notifies `reset_cb` so map-consuming stages
+        (loop closer: pending GBA, keyframe database) reset with us — the
+        early-loss self-reset path reaches here without going through
+        System."""
         cfg = self.cfg
+        if getattr(self, "reset_cb", None) is not None:
+            self.reset_cb()
         self.map = ms.make_empty(cfg.max_kf, cfg.n_cams, cfg.max_feat, cfg.max_mp)
         self.state = TrackState.NOT_INITIALIZED
         self.Tcw = jnp.eye(4, dtype=jnp.float32)
@@ -685,12 +709,12 @@ class Tracker:
         tstate = self._tstate_dev.at[2].set(1 if self.only_tracking else 0)
         fid = jnp.asarray(self.frame_id, jnp.int32)
         (fr, self.map, self.Tcw, frame_mp, self.velocity,
-         self._tstate_dev, scalars, ref_slot, ref_pose) = \
+         self._tstate_dev, scalars, ref_slot, ref_pose, ref_fid) = \
             track_frame_fused_images(
                 self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
                 self.velocity, tstate, grays, depths, self.calib, cfg, fid)
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
-        self._record(ref_slot, ref_pose)
+        self._record(ref_slot, ref_pose, ref_fid)
         self._push_pending(scalars)
         self.frame_id += 1
         return self.state
@@ -754,11 +778,12 @@ class Tracker:
         tstate = self._tstate_dev.at[2].set(1 if self.only_tracking else 0)
         fid = jnp.asarray(self.frame_id, jnp.int32)
         (self.map, self.Tcw, frame_mp, self.velocity,
-         self._tstate_dev, scalars, ref_slot, ref_pose) = track_frame_fused(
+         self._tstate_dev, scalars, ref_slot, ref_pose,
+         ref_fid) = track_frame_fused(
             self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
             self.velocity, tstate, fr, self.calib, cfg, fid)
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
-        self._record(ref_slot, ref_pose)
+        self._record(ref_slot, ref_pose, ref_fid)
         self._push_pending(scalars)
         self.frame_id += 1
         return self.state
@@ -867,7 +892,11 @@ class Tracker:
         tct, tcu = close_point_thresholds(
             cfg, cfg.n_cams * fr.desc.shape[1])
         need_close = (n_close_tracked < tct and n_close_untracked > tcu)
-        weak_tracking = n_inl < cfg.kf_ref_ratio * max(self.ref_kf_tracked, 1)
+        weak_abs = (cfg.kf_weak_abs if cfg.kf_weak_abs > 0
+                    else 2 * cfg.min_inliers_track)
+        weak_tracking = (
+            n_inl < cfg.kf_ref_ratio * max(self.ref_kf_tracked, 1)
+            or n_inl < weak_abs)
         need_kf = (
             not self.only_tracking and n_inl > 15
             and (since_kf >= cfg.max_frames_kf
@@ -897,7 +926,7 @@ class Tracker:
         self.frame_id += 1
         return self.state
 
-    def _record(self, ref_slot=None, ref_pose=None):
+    def _record(self, ref_slot=None, ref_pose=None, ref_fid=None):
         # store device arrays only -- no host sync on the frame path; the
         # relative pose is formed lazily at export time.  The fused path
         # passes the reference slot/pose straight from the step outputs
@@ -906,9 +935,10 @@ class Tracker:
         if ref_pose is None:
             ref_slot = self.last_kf_slot
             ref_pose = self.map.kf_Tcw[self.last_kf_slot]
+            ref_fid = self.map.kf_frame_id[self.last_kf_slot]
         self.trajectory.append((
             self.frame_id, self._ts, ref_slot,
-            (self.Tcw, ref_pose),
+            (self.Tcw, ref_pose, ref_fid),
             self.state != TrackState.OK,
         ))
 
@@ -916,12 +946,35 @@ class Tracker:
         self._resolve_pending()
         """(frame_id, timestamp, Tcw) per frame, with keyframe-pose
         corrections applied through the stored relative poses (reference
-        SaveTrajectoryTUM, src/System.cc:353-411)."""
+        SaveTrajectoryTUM, src/System.cc:353-411).
+
+        Slot-recycling guard: keyframe slots are recycled after culling
+        (insert_keyframe_impl takes argmin(kf_valid)); a frame recorded
+        against a since-culled reference KF must NOT be corrected through
+        whatever new keyframe now occupies the slot.  The recorded frame id
+        of the reference KF disambiguates: on mismatch (or an invalidated
+        slot) the frame falls back to its recorded absolute pose — the
+        reference's SaveTrajectoryTUM walks the spanning tree to a live
+        parent instead (System.cc:370-380); the uncorrected pose is the
+        deterministic equivalent when the parent chain is not materialized.
+        """
         kf_Tcw = np.asarray(self.map.kf_Tcw)
+        kf_fid = np.asarray(self.map.kf_frame_id)
+        kf_valid = np.asarray(self.map.kf_valid)
         out = []
-        for fid, ts, ref, (Tcw_rec, ref_pose_rec), lost in self.trajectory:
-            Tcr = np.asarray(Tcw_rec) @ np.linalg.inv(np.asarray(ref_pose_rec))
-            out.append((fid, ts, Tcr @ kf_Tcw[int(np.asarray(ref))], lost))
+        for fid, ts, ref, rec, lost in self.trajectory:
+            Tcw_rec, ref_pose_rec = rec[0], rec[1]
+            ref_fid_rec = rec[2] if len(rec) > 2 else None
+            r = int(np.asarray(ref))
+            fresh = (ref_fid_rec is None
+                     or (kf_valid[r]
+                         and kf_fid[r] == int(np.asarray(ref_fid_rec))))
+            if fresh:
+                Tcr = (np.asarray(Tcw_rec)
+                       @ np.linalg.inv(np.asarray(ref_pose_rec)))
+                out.append((fid, ts, Tcr @ kf_Tcw[r], lost))
+            else:
+                out.append((fid, ts, np.asarray(Tcw_rec), lost))
         return out
 
 

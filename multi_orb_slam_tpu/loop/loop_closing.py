@@ -125,6 +125,23 @@ class LoopCloser:
         self._gba_pending = None
         self.n_gba_merged = 0
 
+    def reset(self):
+        """Clear all map-derived state (reference LoopClosing::RequestReset,
+        src/LoopClosing.cc:1006-1030: empties the queue and resets
+        mLastLoopKFid).  MUST run on a system reset: a pending GBA computed
+        against the pre-reset map would otherwise merge into the fresh map
+        — and since frame ids restart at 0, the slot-recycling guard can
+        falsely match (slot 0 / frame 0) and overwrite fresh poses.  The
+        keyframe database is re-created (its BoW rows index dead slots);
+        the trained vocabulary itself is map-independent and kept."""
+        self._gba_pending = None
+        self._pending_bow = []
+        self.consistent_groups = []
+        self.loop_pairs = []
+        self.last_loop_kf = -DETECT_GAP
+        if self.voc is not None:
+            self.db = db_mod.make_empty_db(self.cfg.max_kf, self.voc.n_words)
+
     # ------------------------------------------------------------------
 
     def _ensure_vocab(self, state: ms.MapState, kf_slot: int) -> bool:
@@ -221,18 +238,24 @@ class LoopCloser:
         for kf_b in candidates:
             if int(state.kf_frame_id[kf_b]) > fid_a - MIN_LOOP_AGE:
                 continue
-            # camera-0 word-gated matching between map-point features:
-            # candidate pairs share a vocabulary leaf, as in the
+            # word-gated matching between map-point features of ALL rig
+            # cameras: candidate pairs share a vocabulary leaf, as in the
             # reference's SearchByBoW (ORBmatcher.cc:206-388 iterates the
-            # shared FeatureVector nodes).  A brute [F, F] search with the
+            # shared FeatureVector nodes over the keyframe's full
+            # multi-camera feature set).  A brute [F, F] search with the
             # 0.75 ratio test is NOT equivalent: on repetitive structure
             # the global second-best is nearly as good as the best and the
             # ratio kills almost every true match; within one word the
             # competition is only same-appearance features.
-            da = state.kf_desc[kf_a][0]
-            db_ = state.kf_desc[kf_b][0]
-            has_a = (state.kf_mp[kf_a][0] >= 0) & state.kf_feat_valid[kf_a][0]
-            has_b = (state.kf_mp[kf_b][0] >= 0) & state.kf_feat_valid[kf_b][0]
+            C, F = state.kf_desc.shape[1], state.kf_desc.shape[2]
+            da = state.kf_desc[kf_a].reshape(C * F, -1)
+            db_ = state.kf_desc[kf_b].reshape(C * F, -1)
+            mp_a_flat = state.kf_mp[kf_a].reshape(-1)
+            mp_b_flat = state.kf_mp[kf_b].reshape(-1)
+            has_a = ((mp_a_flat >= 0)
+                     & state.kf_feat_valid[kf_a].reshape(-1))
+            has_b = ((mp_b_flat >= 0)
+                     & state.kf_feat_valid[kf_b].reshape(-1))
             wa = vocab_mod.transform_words(self.voc, da)
             wb = vocab_mod.transform_words(self.voc, db_)
             d = hamming.pairwise_hamming(da, db_)
@@ -244,34 +267,43 @@ class LoopCloser:
             n_matches = int(jnp.sum(ok))
             if n_matches < MIN_MATCHES_BOW:
                 continue
-            # matched landmark pairs in each rig frame
-            mp_a = np.asarray(state.kf_mp[kf_a][0])
-            mp_b = np.asarray(state.kf_mp[kf_b][0])
+            # matched landmark pairs in each RIG frame, with the observing
+            # camera of each side (the reference's Sim3Solver stores
+            # per-point camera ids because loop matches can land in cam2,
+            # src/Sim3Solver.cc:117-135)
+            mp_a = np.asarray(mp_a_flat)
+            mp_b = np.asarray(mp_b_flat)
             bi_np = np.asarray(bi)
             ok_np = np.asarray(ok)
             ia = np.nonzero(ok_np)[0]
+            ib = bi_np[ia]
             pa_ids = mp_a[ia]
-            pb_ids = mp_b[bi_np[ia]]
+            pb_ids = mp_b[ib]
             pw = np.asarray(state.mp_pos)
             Ta = np.asarray(state.kf_Tcw[kf_a])
             Tb = np.asarray(state.kf_Tcw[kf_b])
             pts_a = pw[pa_ids] @ Ta[:3, :3].T + Ta[:3, 3]
             pts_b = pw[pb_ids] @ Tb[:3, :3].T + Tb[:3, 3]
+            cam_a = (ia // F).astype(np.int32)
+            cam_b = (ib // F).astype(np.int32)
             n = len(ia)
             cap = 256
             pad = cap - n if n < cap else 0
             if n > cap:
                 pts_a, pts_b = pts_a[:cap], pts_b[:cap]
+                cam_a, cam_b = cam_a[:cap], cam_b[:cap]
                 n = cap
                 pad = 0
             pts_a = np.concatenate([pts_a, np.zeros((pad, 3))]).astype(np.float32)
             pts_b = np.concatenate([pts_b, np.zeros((pad, 3))]).astype(np.float32)
+            cam_a = np.concatenate([cam_a, np.zeros(pad, np.int32)])
+            cam_b = np.concatenate([cam_b, np.zeros(pad, np.int32)])
             valid = np.zeros(cap, bool)
             valid[:n] = True
             g_ab, inl, n_inl = sim3_solver.solve_sim3_ransac(
                 jax.random.PRNGKey(kf_a * 1000 + kf_b),
                 jnp.asarray(pts_a), jnp.asarray(pts_b),
-                jnp.zeros(cap, jnp.int32), jnp.zeros(cap, jnp.int32),
+                jnp.asarray(cam_a), jnp.asarray(cam_b),
                 jnp.asarray(valid),
                 self.calib.T_rc, self.calib.K,
             )
@@ -283,7 +315,7 @@ class LoopCloser:
             # acceptance needs >= 20 LM inliers (LoopClosing.cc:455-461)
             g_ref, n_lm = self._refine_sim3(
                 state, kf_a, kf_b, g_ab,
-                ia[:n], bi_np[ia[:n]], np.asarray(inl)[:n])
+                ia[:n], ib[:n], np.asarray(inl)[:n])
             if n_lm < MIN_INLIERS_SIM3:
                 continue
             g_ab = g_ref
@@ -298,41 +330,48 @@ class LoopCloser:
 
     def _refine_sim3(self, state, kf_a: int, kf_b: int, g_ab,
                      ia: np.ndarray, ib: np.ndarray, ransac_inl: np.ndarray):
-        """SearchBySim3 guided matches + gated Sim3-pair LM.
+        """SearchBySim3 guided matches + gated camera-aware Sim3-pair LM.
 
-        `ia`/`ib` are the brute-match feature pairs (a-feature -> b-feature)
-        that seeded RANSAC; `ransac_inl` their inlier mask.  Returns
-        (g_refined [8], n_inliers int).
+        `ia`/`ib` are the brute-match feature pairs (a-feature -> b-feature,
+        FLAT [C*F] indices over all rig cameras) that seeded RANSAC;
+        `ransac_inl` their inlier mask.  Returns (g_refined [8], n int).
         """
         from ..optim import sim3_opt
 
         cfg = self.cfg
+        C, F = state.kf_desc.shape[1], state.kf_desc.shape[2]
         guided = np.asarray(sim3_solver.search_by_sim3(
             state, jnp.asarray(kf_a), jnp.asarray(kf_b), g_ab,
             self.calib.K[0], cfg.max_mp, cfg.scale_factor, cfg.n_levels))
-        # union: RANSAC-inlier seed pairs take precedence (the reference
-        # leaves existing vpMatches12 entries untouched, ORBmatcher.cc:2875)
-        pair_of_a = guided.copy()                      # [F] a-feat -> b-feat
+        # union in the flat [C*F] index space: the guided search produces
+        # cam0<->cam0 pairs (flat index == feature index); RANSAC-inlier
+        # seed pairs — which may live in any camera — take precedence (the
+        # reference leaves existing vpMatches12 entries untouched,
+        # ORBmatcher.cc:2875)
+        pair_of_a = np.full(C * F, -1, np.int64)
+        pair_of_a[:F] = guided
         seed_a = ia[ransac_inl]
         seed_b = ib[ransac_inl]
         pair_of_a[seed_a] = seed_b
         ja = np.nonzero(pair_of_a >= 0)[0]
         jb = pair_of_a[ja]
+        cam_ja = (ja // F).astype(np.int32)
+        cam_jb = (jb // F).astype(np.int32)
 
-        mp_a = np.asarray(state.kf_mp[kf_a][0])
-        mp_b = np.asarray(state.kf_mp[kf_b][0])
+        mp_a = np.asarray(state.kf_mp[kf_a]).reshape(-1)
+        mp_b = np.asarray(state.kf_mp[kf_b]).reshape(-1)
         pw = np.asarray(state.mp_pos)
         Ta = np.asarray(state.kf_Tcw[kf_a])
         Tb = np.asarray(state.kf_Tcw[kf_b])
         X_a = pw[mp_a[ja]] @ Ta[:3, :3].T + Ta[:3, 3]
         X_b = pw[mp_b[jb]] @ Tb[:3, :3].T + Tb[:3, 3]
-        uv_a = np.asarray(state.kf_xy_und[kf_a][0])[ja]
-        uv_b = np.asarray(state.kf_xy_und[kf_b][0])[jb]
+        uv_a = np.asarray(state.kf_xy_und[kf_a]).reshape(-1, 2)[ja]
+        uv_b = np.asarray(state.kf_xy_und[kf_b]).reshape(-1, 2)[jb]
         sf2 = np.asarray(
             [cfg.scale_factor ** (2.0 * l) for l in range(cfg.n_levels)],
             np.float32)
-        is2_a = 1.0 / sf2[np.asarray(state.kf_level[kf_a][0])[ja]]
-        is2_b = 1.0 / sf2[np.asarray(state.kf_level[kf_b][0])[jb]]
+        is2_a = 1.0 / sf2[np.asarray(state.kf_level[kf_a]).reshape(-1)[ja]]
+        is2_b = 1.0 / sf2[np.asarray(state.kf_level[kf_b]).reshape(-1)[jb]]
 
         capn = 512
         n = min(len(ja), capn)
@@ -343,15 +382,21 @@ class LoopCloser:
             return np.concatenate([x, np.zeros((pad,) + x.shape[1:],
                                                np.float32)]) if pad else x
 
+        def padi(x):
+            x = np.asarray(x[:n], np.int32)
+            return np.concatenate([x, np.zeros(pad, np.int32)]) if pad else x
+
         obs = sim3_opt.Sim3Obs(
             X_a=jnp.asarray(padf(X_a, 3)), X_b=jnp.asarray(padf(X_b, 3)),
             uv_a=jnp.asarray(padf(uv_a, 2)), uv_b=jnp.asarray(padf(uv_b, 2)),
             inv_sigma2_a=jnp.asarray(padf(is2_a, 1)),
             inv_sigma2_b=jnp.asarray(padf(is2_b, 1)),
             mask=jnp.asarray(np.arange(capn) < n),
+            cam_a=jnp.asarray(padi(cam_ja)),
+            cam_b=jnp.asarray(padi(cam_jb)),
         )
         g_ref, _, n_inl = sim3_opt.optimize_sim3(
-            g_ab, obs, self.calib.K[0], fix_scale=True)
+            g_ab, obs, self.calib.K, T_rc=self.calib.T_rc, fix_scale=True)
         return g_ref, int(n_inl)
 
     def _guided_matches(self, state, kf_a, kf_b, g_ab) -> int:

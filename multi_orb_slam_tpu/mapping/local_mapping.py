@@ -411,12 +411,28 @@ def cull_keyframes(
     lvl_cnt = jnp.zeros(M * L + 1, jnp.int32).at[idx].add(
         has.reshape(-1).astype(jnp.int32))
 
+    # per-(keyframe, camera) point -> observation level (127 = none): lets
+    # a candidate subtract its OWN per-point observation count over BOTH
+    # cameras rather than a constant 1 — a dual-camera self-observation is
+    # not an independent supporter (the reference counts observers among
+    # OTHER keyframes only, LocalMapping.cc:996-1027)
+    k_idx = jnp.broadcast_to(jnp.arange(K)[:, None, None], (K, C, F))
+    c_idx = jnp.broadcast_to(jnp.arange(C)[None, :, None], (K, C, F))
+    pt_idx = jnp.where(has, jnp.clip(state.kf_mp, 0, M - 1), M)
+    lvl_of = jnp.full((K, C, M + 1), 127, jnp.int32).at[
+        k_idx, c_idx, pt_idx].min(jnp.where(has, lvl, 127))[:, :, :M]
+
     def kf_ratio(lvl_cnt, s):
         """Redundant-close-point ratio of keyframe slot s under lvl_cnt."""
         m_s = jnp.clip(state.kf_mp[s], 0, M - 1)             # [C, F]
         cnt = lvl_cnt[:-1].reshape(M, L)[m_s]                # [C, F, L]
         sup_mask = jnp.arange(L) <= (lvl[s] + 1)[..., None]  # [C, F, L]
-        sup = jnp.sum(jnp.where(sup_mask, cnt, 0), axis=-1) - 1
+        # self-observations of the same point (any camera) at qualifying
+        # level, to subtract from the histogram total
+        self_sup = jnp.sum(
+            (lvl_of[s][:, m_s] <= (lvl[s] + 1)[None]).astype(jnp.int32),
+            axis=0)                                          # [C, F]
+        sup = jnp.sum(jnp.where(sup_mask, cnt, 0), axis=-1) - self_sup
         ok = has[s] & close[s]
         red = ok & (sup >= 3)
         n_pts = jnp.sum(ok.astype(jnp.int32))

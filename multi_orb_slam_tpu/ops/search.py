@@ -42,8 +42,37 @@ class LocalPoints(NamedTuple):
     valid: jnp.ndarray     # [L] bool
 
 
-def gather_local_points(state: ms.MapState, mask: jnp.ndarray, cap: int) -> LocalPoints:
-    """Compact up to `cap` masked map points into a dense batch."""
+def gather_local_points(
+    state: ms.MapState, mask: jnp.ndarray, cap: int,
+    priority: jnp.ndarray | None = None,
+) -> LocalPoints:
+    """Compact up to `cap` masked map points into a dense batch.
+
+    `priority` ([M] float, higher first) ranks points when more than `cap`
+    are masked.  Without it the selection falls back to slot order — which
+    is ALLOCATION order, so on trajectories that leave old structure behind
+    (circuits, corridors) the stale oldest points would crowd the currently
+    visible ones out of the batch (observed: cam-0 local-map inliers
+    collapsing 36 -> 1 the moment the map outgrew the cap on the circuit
+    scenario).  The reference searches the full unbounded local set
+    (src/Tracking.cc:1702-1770); a relevance-ranked cap is the fixed-shape
+    equivalent.
+    """
+    if priority is not None:
+        key = jnp.where(mask, priority.astype(jnp.float32), -jnp.inf)
+        _, order = jax.lax.top_k(key, cap)
+        sel_valid = mask[order]
+        idx = jnp.where(sel_valid, order, -1)
+        g = jnp.clip(order, 0, None)
+        return LocalPoints(
+            idx=idx,
+            pos=state.mp_pos[g],
+            desc=state.mp_desc[g],
+            normal=state.mp_normal[g],
+            min_dist=state.mp_min_dist[g],
+            max_dist=state.mp_max_dist[g],
+            valid=sel_valid,
+        )
     score = mask.astype(jnp.int32)
     # stable selection of masked points: rank by (mask, index)
     _, order = jax.lax.top_k(score * (1 << 20) - jnp.arange(score.shape[0]), cap)

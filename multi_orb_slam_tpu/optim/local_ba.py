@@ -349,6 +349,11 @@ def solve_ba(
 
         active, lin, lam = jax.lax.cond(
             gate_arr[it], regate, lambda _: (active, lin, lam), None)
+        # a phase boundary reached NATURALLY (without the early-exit jump)
+        # must also restart the stagnation counter: stale no-progress
+        # counts from the Huber phase would end the re-gated final phase
+        # after a single iteration
+        conv = jnp.where(gate_arr[it], 0, conv)
 
         dxc, dp = solve_step(lin, lam)
         kf_new = jax.vmap(lambda d, T: se3.exp(d) @ T)(dxc, kf_cur)

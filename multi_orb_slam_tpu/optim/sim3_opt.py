@@ -33,10 +33,14 @@ CHI2_TH = 10.0  # reference th2, Optimizer.cc:2149
 
 
 class Sim3Obs(NamedTuple):
-    """Fixed-capacity correspondence set between two keyframes (camera 0).
+    """Fixed-capacity correspondence set between two keyframes.
 
     X_a / X_b are the SAME physical landmark's positions in each keyframe's
     rig (camera-0) coordinates; uv_a / uv_b the matched feature positions.
+    `cam_a` / `cam_b` are the observing camera of each feature (None means
+    all camera 0): the reference's `OptimizeSim3_cam1` routes cam-2
+    observations through the rig extrinsic (src/Optimizer.cc:1704-2246,
+    VertexSim3Expmap_Multi edges).
     """
 
     X_a: jnp.ndarray          # [N, 3]
@@ -46,6 +50,8 @@ class Sim3Obs(NamedTuple):
     inv_sigma2_a: jnp.ndarray # [N]
     inv_sigma2_b: jnp.ndarray # [N]
     mask: jnp.ndarray         # [N] bool
+    cam_a: jnp.ndarray | None = None  # [N] int32 observing camera in a
+    cam_b: jnp.ndarray | None = None  # [N] int32 observing camera in b
 
 
 def _project(K, X):
@@ -55,22 +61,38 @@ def _project(K, X):
     return jnp.stack([u, v], axis=-1), X[..., 2] > 1e-3
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
+@partial(jax.jit, static_argnums=(4, 5, 6))
 def optimize_sim3(
     g_ab0: jnp.ndarray,   # [8] initial Sim3 (b -> a), e.g. from RANSAC
     obs: Sim3Obs,
-    K0: jnp.ndarray,      # [4] camera-0 intrinsics (fx, fy, cx, cy)
+    K0: jnp.ndarray,      # [4] cam-0 intrinsics, or [C, 4] with T_rc given
+    T_rc: jnp.ndarray | None = None,  # [C, 4, 4] rig extrinsics (with
+                                      # obs.cam_a/cam_b: camera-aware edges)
     fix_scale: bool = True,
     n_iters_first: int = 5,
     n_iters_second: int = 10,
 ):
     """Returns (g_ab [8], inlier_mask [N], n_inliers int32)."""
     delta = jnp.sqrt(CHI2_TH)
+    multi = T_rc is not None and obs.cam_a is not None
+
+    def proj_into(cams, X):
+        """Project rig-frame points into each observation's camera."""
+        if not multi:
+            return _project(K0, X)
+        Trc = T_rc[cams]
+        Xc = jnp.einsum("nij,nj->ni", Trc[:, :3, :3], X) + Trc[:, :3, 3]
+        Kc = K0[cams]
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        u = Kc[:, 0] * Xc[..., 0] / z + Kc[:, 2]
+        v = Kc[:, 1] * Xc[..., 1] / z + Kc[:, 3]
+        return jnp.stack([u, v], axis=-1), Xc[..., 2] > 1e-3
 
     def residuals(xi, g_base):
         g = sim3.compose(sim3.exp(xi), g_base)
-        uv1, ok1 = _project(K0, sim3.apply(g, obs.X_b))
-        uv2, ok2 = _project(K0, sim3.apply(sim3.inverse(g), obs.X_a))
+        uv1, ok1 = proj_into(obs.cam_a, sim3.apply(g, obs.X_b))
+        uv2, ok2 = proj_into(obs.cam_b,
+                             sim3.apply(sim3.inverse(g), obs.X_a))
         e1 = obs.uv_a - uv1
         e2 = obs.uv_b - uv2
         return e1, e2, ok1 & ok2

@@ -84,6 +84,8 @@ class System:
         if enable_mapping:
             self.tracker.kf_inserted_cb = self._on_keyframe
         self.tracker.reloc_cb = self._relocalize
+        self.tracker.reset_cb = (
+            self.loop_closer.reset if self.loop_closer is not None else None)
         self.tracker.reloc_ready_fn = (
             lambda: self.loop_closer is not None
             and self.loop_closer.voc is not None)
@@ -134,8 +136,7 @@ class System:
         grayscale float arrays; depth in meters (DepthMapFactor already
         applied by the caller or `track_rgbd_raw`)."""
         if self._reset_requested:
-            self.tracker.reset()
-            self._reset_requested = False
+            self._do_reset()
         if self.sensor == Sensor.DUAL_RGBD:
             assert im2 is not None and depth2 is not None
             grays = np.stack([im1, im2]).astype(np.float32)
@@ -158,8 +159,7 @@ class System:
         left<->right ORB matching, then the RGB-D pipeline."""
         from .frontend import frame as frame_mod
         if self._reset_requested:
-            self.tracker.reset()
-            self._reset_requested = False
+            self._do_reset()
         fr = frame_mod.build_frame_stereo(
             jnp.asarray(np.asarray(im_left, np.float32)),
             jnp.asarray(np.asarray(im_right, np.float32)),
@@ -177,6 +177,18 @@ class System:
 
     def reset(self):
         self._reset_requested = True
+
+    def _do_reset(self):
+        """Reset tracker AND loop closer together (the reference's
+        System::Reset signals Tracking::Reset, which in turn requests
+        LocalMapping/LoopClosing resets, src/Tracking.cc:2160-2206).
+        Without the loop-closer half, a GBA dispatched against the
+        pre-reset map would merge into the fresh map."""
+        self.tracker.reset()
+        if self.loop_closer is not None:
+            self.loop_closer.reset()
+        self._covis_pending = None
+        self._reset_requested = False
 
     def shutdown(self):
         """Fold in any still-pending asynchronous GBA (the reference's

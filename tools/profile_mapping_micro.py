@@ -111,10 +111,12 @@ amortized("dedupe_obs_rows (full store argsort)", dd_step, (st, acc0))
 # --- one _fuse_step ---
 pts = search.gather_local_points(st, st.mp_valid, cfg.local_cap)
 rep0 = jnp.arange(M, dtype=jnp.int32)
+cnt0 = ms.mp_weighted_obs(st)
 def fs_step(c):
     s, acc = c
-    s2, rep, n = fusion._fuse_step(s, pts, ks, rep0, cfg, calib)
-    return (s, acc + _redsum((rep, n)) * 1e-30 + _redsum(s2.kf_mp) * 1e-30)
+    s2, rep, cnt, n = fusion._fuse_step(s, pts, ks, rep0, cnt0, cfg, calib)
+    return (s, acc + _redsum((rep, cnt, n)) * 1e-30
+            + _redsum(s2.kf_mp) * 1e-30)
 
 amortized("_fuse_step (one target)", fs_step, (st, acc0))
 

@@ -85,7 +85,7 @@ amortized("extract_orb (1 cam)", ex_step, (g, jnp.zeros(())))
 
 # --- full fused tracking step (state-preserving: feed output state back) ---
 def fused_step(s):
-    s2, Tcw, fmp, vel2, ts2, scal, _rs, _rp = tracking.track_frame_fused(
+    s2, Tcw, fmp, vel2, ts2, scal, _rs, _rp, _rf = tracking.track_frame_fused(
         s, prev, prev_Tcw, prev_mp, vel, tstate, fr, calib, cfg, fid)
     return s2
 
