@@ -130,14 +130,62 @@ def amortized(name, step, init, reps=16):
     return per
 
 
+def _rs(*xs):
+    tot = jnp.zeros((), jnp.float32)
+    for x in xs:
+        tot = tot + jnp.sum(x.astype(jnp.float32))
+    return tot
+
+
 # 1. linearize alone, threaded through mp_pos
 def lin_step(c):
     mp_pos, acc = c
     Hcc, bc, Hpp, bp, Wcp, total = linearize(prob.kf_Tcw, mp_pos)
-    return (mp_pos + 1e-30 * bp, acc + total * 1e-30)
+    return (mp_pos + 1e-30 * bp,
+            acc + 1e-30 * _rs(Hcc, bc, Hpp, Wcp, total))
 
 amortized("linearize (full, threaded)", lin_step,
           (prob.mp_pos, jnp.zeros((), dtype)))
+
+
+# 1a. residual + FULL jacobians forced
+def resj_step(c):
+    mp_pos, acc = c
+    e, Jc, Jp, is_st, posd = residuals.reproj_residual(
+        prob.kf_Tcw[obs_kf], mp_pos[mp_idx], T_rc[obs_cam], K[obs_cam], bf,
+        obs_uvr)
+    return (mp_pos + 1e-30 * jnp.sum(e),
+            acc + 1e-30 * _rs(e, Jc, Jp))
+
+amortized("reproj_residual + FULL J forced", resj_step,
+          (prob.mp_pos, jnp.zeros((), dtype)))
+
+
+# 1a'. Hcc block contraction alone (given random JTc-sized inputs)
+A18r = jax.random.normal(jax.random.PRNGKey(1), (L, Cc * F, 18), dtype)
+def hcc_step(c):
+    a18, acc = c
+    H18 = jax.lax.dot_general(a18, a18, (((1,), (1,)), ((0,), (0,))))
+    return (a18 + 1e-30 * H18[:, :1, 0], acc + 1e-30 * jnp.sum(H18))
+
+amortized("Hcc dot_general [L,CF,18]^2", hcc_step,
+          (A18r, jnp.zeros((), dtype)))
+
+
+# 1a''. Vpp/Vbp/Vcp einsums alone, fully forced
+JTr = jax.random.normal(jax.random.PRNGKey(2), (N, 3, 6), dtype)
+Jpr = jax.random.normal(jax.random.PRNGKey(3), (N, 3, 3), dtype)
+er = jax.random.normal(jax.random.PRNGKey(4), (N, 3), dtype)
+def v_step(c):
+    jt, acc = c
+    Vpp = jnp.einsum("nri,nrj->nij", Jpr, Jpr).reshape(N, 9)
+    Vbp = jnp.einsum("nri,nr->ni", Jpr, er)
+    Vcp = jnp.einsum("nri,nrj->nij", jt, Jpr).reshape(N, 18)
+    Vall = jnp.concatenate([Vpp, Vbp, Vcp], axis=-1)
+    return (jt + 1e-30 * Vall[:, :1, None], acc + 1e-30 * jnp.sum(Vall))
+
+amortized("V einsums [N,30] forced", v_step,
+          (JTr, jnp.zeros((), dtype)))
 
 
 # 1b. linearize WITHOUT the point_sums (pallas) stage
