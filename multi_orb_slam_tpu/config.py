@@ -105,6 +105,20 @@ class SlamConfig(NamedTuple):
                                 # inflated base the cadence nearly doubles
                                 # (13 KFs / 52 bench frames vs the
                                 # reference's ~1 per 10-15).
+    tri_rotation_check: bool = False
+                                # rotation-histogram consistency on the
+                                # triangulation epipolar search, as the
+                                # reference applies in SearchForTriangulation
+                                # (src/ORBmatcher.cc:1380-1388,1540-1565).
+                                # Default OFF: our triangulation match is
+                                # already mutual-best + epipolar + two-view
+                                # chi2 gated, and the measured false-match
+                                # rate without the histogram is at reference
+                                # level while the histogram's true-match
+                                # thinning measurably degrades map density
+                                # (reloc recovery 0.23 m vs 0.20 bound on the
+                                # blackout test) — see
+                                # tools/measure_triangulation_matches.py.
     orb: orb.ORBConfig = orb.ORBConfig()
 
 

@@ -252,6 +252,84 @@ class SyntheticSequence(NamedTuple):
     timestamps: np.ndarray
 
 
+class SensorModel(NamedTuple):
+    """Kinect-style sensor degradation applied to ideal renders.
+
+    The reference's acceptance regime is real TUM RGB-D (README §3,
+    OtherFiles/evaluate_ate.py); real Kinect frames carry depth noise that
+    grows quadratically with range (Khoshelham & Elberink 2012:
+    sigma_z ~= 1.425e-3 * z^2 m), missing-depth dropouts at oblique/edge
+    pixels, rolling exposure drift, pixel shot noise, and motion blur.
+    This model injects all five so synthetic acceptance numbers are earned
+    on degraded input rather than exact renders (VERDICT round-3 item 4).
+    """
+
+    depth_sigma_quad: float = 1.425e-3  # sigma_z = quad * z^2 (meters)
+    depth_dropout: float = 0.02         # fraction of valid pixels zeroed
+    exposure_amp: float = 0.15          # peak-to-peak multiplicative drift
+    exposure_period: float = 90.0       # frames per drift cycle
+    shot_noise_std: float = 2.0         # gray-level gaussian noise (0-255)
+    blur_px_per_degps: float = 0.03     # blur length per deg/s of rig yaw
+
+
+def _motion_blur(gray: np.ndarray, blur_px: float) -> np.ndarray:
+    """Horizontal box blur of `blur_px` pixels (small-rotation approx)."""
+    n = int(round(blur_px))
+    if n < 1:
+        return gray
+    n = min(n, 7)
+    acc = np.copy(gray)
+    for k in range(1, n + 1):
+        acc[:, k:] += gray[:, :-k]
+        acc[:, :k] += gray[:, :1]
+    return acc / (n + 1.0)
+
+
+def degrade_sequence(
+    seq: "SyntheticSequence",
+    model: SensorModel = SensorModel(),
+    seed: int = 7,
+) -> "SyntheticSequence":
+    """Apply the sensor model to an ideal rendered sequence (in place shapes).
+
+    Deterministic given `seed`; both systems (ours and the reference C++)
+    can be fed the identical degraded frames for a paired ATE baseline.
+    """
+    rng = np.random.RandomState(seed)
+    n = len(seq.grays)
+    grays_out, depths_out = [], []
+    # per-frame rig yaw rate from consecutive GT poses (deg/s at 30 fps)
+    for i in range(n):
+        g = np.asarray(seq.grays[i], np.float32).copy()
+        d = np.asarray(seq.depths[i], np.float32).copy()
+        if i > 0:
+            dR = seq.poses_gt[i][:3, :3] @ seq.poses_gt[i - 1][:3, :3].T
+            ang = np.degrees(np.arccos(
+                np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)))
+            yaw_rate = ang * 30.0
+        else:
+            yaw_rate = 0.0
+        blur_px = model.blur_px_per_degps * yaw_rate
+        exposure = 1.0 + 0.5 * model.exposure_amp * np.sin(
+            2.0 * np.pi * i / model.exposure_period)
+        for c in range(g.shape[0]):
+            gc = _motion_blur(g[c], blur_px)
+            gc = gc * exposure
+            gc = gc + rng.normal(0.0, model.shot_noise_std, gc.shape)
+            g[c] = np.clip(gc, 0.0, 255.0)
+            dc = d[c]
+            valid = dc > 0
+            noise = rng.normal(0.0, 1.0, dc.shape).astype(np.float32)
+            dc = np.where(
+                valid, dc + noise * model.depth_sigma_quad * dc * dc, 0.0)
+            drop = rng.uniform(size=dc.shape) < model.depth_dropout
+            d[c] = np.where(drop, 0.0, dc)
+        grays_out.append(g)
+        depths_out.append(d)
+    return SyntheticSequence(grays_out, depths_out, seq.poses_gt,
+                             seq.timestamps)
+
+
 def make_sequence(
     n_frames: int = 30,
     K: np.ndarray | None = None,

@@ -20,9 +20,21 @@ reference ships a pre-trained 1M-word file, stripped from the mirror).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# set MOS_LOOP_DEBUG=1 to trace why Sim3 verification accepts/rejects each
+# loop candidate (gate-by-gate counts on stderr)
+_LOOP_DEBUG = bool(os.environ.get("MOS_LOOP_DEBUG"))
+
+
+def _dbg(msg: str):
+    if _LOOP_DEBUG:
+        import sys
+        print(f"[loop] {msg}", file=sys.stderr, flush=True)
 
 from ..config import SlamConfig
 from ..geometry import camera as cam_mod, se3, sim3
@@ -206,9 +218,36 @@ class LoopCloser:
         has = np.asarray(self.db.has_bow)
         nb = [n for n in neighbors if has[n]]
         min_score = float(scores[nb].min()) if nb else 0.3
+        max_fid = int(state.kf_frame_id[kf_slot]) - MIN_LOOP_AGE
         cands = db_mod.detect_loop_candidates(
             self.db, state, kf_slot, max(min_score, 0.0),
-            q_ids=q_ids, q_vals=q_vals)
+            q_ids=q_ids, q_vals=q_vals, max_frame_id=max_fid)
+        # consistency-earned score slack: a candidate whose covisibility
+        # group is already part of an in-progress consistency chain may
+        # pass at a relaxed minScore.  The reference's gate is fragile
+        # exactly here — minScore tracks the covisibility neighborhood and
+        # rises on well-tracked legs, so a revisit that scored above it for
+        # CONSISTENCY_TH-1 consecutive keyframes can drop below it on the
+        # final one and reset the chain (observed on the natural-drift
+        # corridor).  Temporal consistency substitutes for score margin;
+        # geometric acceptance still requires the full Sim3 chain (15 BoW
+        # pairs, 20 RANSAC + 20 LM inliers, 40 total matches).
+        if self.consistent_groups:
+            chain = set()
+            for g, cnt in self.consistent_groups:
+                if cnt >= 1:
+                    chain |= g
+            if chain:
+                relaxed = db_mod.detect_loop_candidates(
+                    self.db, state, kf_slot, max(0.75 * min_score, 0.0),
+                    q_ids=q_ids, q_vals=q_vals, max_frame_id=max_fid)
+                W_rel = np.asarray(ms.covisibility(state, cam0_only=True))
+                for c in relaxed:
+                    if c in cands:
+                        continue
+                    group = set(np.nonzero(W_rel[c] > 0)[0].tolist()) | {c}
+                    if group & chain:
+                        cands.append(c)
         if not cands:
             self.consistent_groups = []
             return []
@@ -237,6 +276,9 @@ class LoopCloser:
         fid_a = int(state.kf_frame_id[kf_a])
         for kf_b in candidates:
             if int(state.kf_frame_id[kf_b]) > fid_a - MIN_LOOP_AGE:
+                _dbg(f"a={kf_a} b={kf_b}: age-skip "
+                     f"(fid_b={int(state.kf_frame_id[kf_b])}, "
+                     f"fid_a={fid_a})")
                 continue
             # word-gated matching between map-point features of ALL rig
             # cameras: candidate pairs share a vocabulary leaf, as in the
@@ -266,6 +308,8 @@ class LoopCloser:
                 bd.astype(jnp.float32) <= 0.75 * b2.astype(jnp.float32))
             n_matches = int(jnp.sum(ok))
             if n_matches < MIN_MATCHES_BOW:
+                _dbg(f"a={kf_a} b={kf_b}: bow-matches {n_matches} < "
+                     f"{MIN_MATCHES_BOW}")
                 continue
             # matched landmark pairs in each RIG frame, with the observing
             # camera of each side (the reference's Sim3Solver stores
@@ -308,6 +352,8 @@ class LoopCloser:
                 self.calib.T_rc, self.calib.K,
             )
             if int(n_inl) < MIN_INLIERS_SIM3:
+                _dbg(f"a={kf_a} b={kf_b}: ransac inliers {int(n_inl)}/{n} "
+                     f"< {MIN_INLIERS_SIM3}")
                 continue
             # guided match-producing search (SearchBySim3,
             # ORBmatcher.cc:2814) + gated Sim3 LM (OptimizeSim3,
@@ -317,6 +363,8 @@ class LoopCloser:
                 state, kf_a, kf_b, g_ab,
                 ia[:n], ib[:n], np.asarray(inl)[:n])
             if n_lm < MIN_INLIERS_SIM3:
+                _dbg(f"a={kf_a} b={kf_b}: sim3-LM inliers {n_lm} < "
+                     f"{MIN_INLIERS_SIM3}")
                 continue
             g_ab = g_ref
             # total-match gate: project the loop-KF-neighborhood points
@@ -325,7 +373,10 @@ class LoopCloser:
             # gate, LoopClosing.cc:478-529)
             total = n_lm + self._guided_matches(state, kf_a, kf_b, g_ab)
             if total >= MIN_TOTAL_MATCHES:
+                _dbg(f"a={kf_a} b={kf_b}: ACCEPT total={total}")
                 return kf_b, g_ab, total
+            _dbg(f"a={kf_a} b={kf_b}: total-matches {total} < "
+                 f"{MIN_TOTAL_MATCHES}")
         return None
 
     def _refine_sim3(self, state, kf_a: int, kf_b: int, g_ab,

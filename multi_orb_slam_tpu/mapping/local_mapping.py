@@ -246,20 +246,25 @@ def run_mapping_stage(
     the count is computed here at the cost of draining the device queue.
     """
     n_free, n_fixed = cfg.ba_free_kfs, cfg.ba_fixed_kfs
+    phases = ((5, True), (8, False))
     if cfg.ba_adaptive:
         # size the window to the actual covisible set (the reference frees
         # the FULL covisible neighborhood, Optimizer.cc:936-1014); bucketed
-        # static shapes keep XLA happy
+        # static shapes keep XLA happy.  Larger buckets get a shorter LM
+        # budget (_BA_BUCKET_PHASES): the reference's mbAbortBA interrupts
+        # exactly these solves under real-time keyframe pressure.
         n_cov = covis_hint if covis_hint is not None else int(
             covis_kf_count(state, jnp.asarray(kf_slot, jnp.int32)))
         for nf in _BA_WINDOW_BUCKETS:
             if nf >= n_cov + 1:
                 break
+        phases = _BA_BUCKET_PHASES[nf]
         n_free = n_fixed = min(nf, cfg.max_kf // 2)
     if do_triangulate and do_fuse and do_ba and do_cull:
         return _mapping_stage_fused(
             state, jnp.asarray(kf_slot, jnp.int32),
-            jnp.asarray(frame_id, jnp.int32), calib, cfg, n_free, n_fixed)
+            jnp.asarray(frame_id, jnp.int32), calib, cfg, n_free, n_fixed,
+            phases)
     from . import fusion, triangulation
 
     if do_cull:
@@ -270,7 +275,7 @@ def run_mapping_stage(
         state, _ = fusion.fuse_neighbors(state, kf_slot, calib, cfg)
     if do_ba and int(state.n_kf) > 2:
         state = run_local_ba(state, kf_slot, calib, cfg,
-                             n_free=n_free, n_fixed=n_fixed)
+                             n_free=n_free, n_fixed=n_fixed, phases=phases)
     if do_cull:
         state = cull_keyframes(state, jnp.asarray(kf_slot, jnp.int32), cfg)
     state = update_point_geometry(state, cfg)
@@ -278,8 +283,24 @@ def run_mapping_stage(
 
 
 # adaptive-window buckets: smallest compiled variant covering the covisible
-# set wins; the largest is the cap (K=192 maps rarely exceed 32 covisibles)
+# set wins; the largest is the cap (K=192 maps rarely exceed 32 covisibles).
+# Each bucket carries its own LM schedule (huber_iters, plain_iters): the
+# per-iteration cost grows ~linearly with the window (measured 6.9 ms at
+# L=24 -> 12.1 ms at L=48 per iteration on a v5e), and the reference never
+# actually runs its full 5+10 schedule on large windows in real time — a
+# new keyframe's arrival sets mbAbortBA and Optimizer::LocalBundleAdjustment
+# stops at the next g2o iteration boundary (LocalMapping.cc:590-604,
+# Optimizer.cc:1213-1225 setForceStopFlag), so at 1 KF / 10-15 frames the
+# big-window solves are interrupted after a few iterations.  Scaling the
+# deterministic budget down with window size reproduces that effective
+# behavior while keeping every solve bit-reproducible.
 _BA_WINDOW_BUCKETS = (12, 16, 24, 32)
+_BA_BUCKET_PHASES = {
+    12: ((5, True), (8, False)),
+    16: ((4, True), (6, False)),
+    24: ((3, True), (5, False)),
+    32: ((3, True), (4, False)),
+}
 
 
 @jax.jit
@@ -301,7 +322,7 @@ def covis_kf_count(state: ms.MapState, kf_slot: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum((share >= 15).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _mapping_stage_fused(
     state: ms.MapState,
     kf_slot: jnp.ndarray,
@@ -310,6 +331,7 @@ def _mapping_stage_fused(
     cfg: SlamConfig,
     n_free: int = 12,
     n_fixed: int = 12,
+    phases: tuple = ((5, True), (8, False)),
 ) -> ms.MapState:
     from . import fusion, triangulation
 
@@ -321,8 +343,7 @@ def _mapping_stage_fused(
     def do_ba_fn(st):
         prob = build_local_problem(st, kf_slot, cfg, n_free, n_fixed)
         kf_Tcw, mp_pos, inlier = local_ba.solve_ba(
-            prob, calib.T_rc, calib.K, calib.bf,
-            phases=((5, True), (8, False)))
+            prob, calib.T_rc, calib.K, calib.bf, phases=phases)
         return apply_ba_result(st, prob, kf_Tcw, mp_pos, inlier, cfg)
 
     state = jax.lax.cond(state.n_kf > 2, do_ba_fn, lambda st: st, state)

@@ -124,6 +124,14 @@ def triangulate_pair(
         d_masked = jnp.where(cand, d, hamming.BIG)
         best_back = jnp.argmin(d_masked, axis=0)
         ok = ok & (best_back[bi] == jnp.arange(F))
+        if cfg.tri_rotation_check:
+            # rotation consistency: the reference histograms the per-match
+            # orientation difference and keeps the top-3 bins
+            # (SearchForTriangulation, src/ORBmatcher.cc:1380-1388,
+            # 1540-1565).  Optional here — see SlamConfig.tri_rotation_check
+            # for the measured tradeoff.
+            delta = state.kf_angle[kf_a, c] - state.kf_angle[kf_b, c][bi]
+            ok = hamming.rotation_histogram_filter(delta, ok)
 
         # triangulate a-feature with its matched b-feature
         fb = bi

@@ -176,6 +176,23 @@ def solve_ba(
         row = residuals.row_weights(is_st, dtype)
         return jnp.sum(e * e * row, axis=-1) * obs_is2
 
+    def cost_eval(kf_Tcw, mp_pos, active, use_huber):
+        """Residual-only robust cost + (chi2, posd) — the trial-acceptance
+        check.  No Jacobians, no normal-equation blocks: ~30x cheaper than
+        a full linearization on TPU (the blocks are what cost memory
+        traffic), which is what lets the LM loop carry only small state."""
+        e, _, _, is_st, posd = residuals.reproj_residual(
+            kf_Tcw[obs_kf], mp_pos[mp_idx], T_rc[obs_cam], K[obs_cam], bf,
+            obs_uvr, want_jac=False)
+        act = active & obs_valid & posd
+        chi2 = chi2_of(e, is_st)
+        delta = jnp.where(is_st, delta_s, delta_m)
+        r = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        rho_c = jnp.where(
+            use_huber & (r > delta), delta * (2.0 * r - delta), chi2)
+        total = jnp.sum(jnp.where(act, rho_c, 0.0))
+        return total, chi2, posd
+
     def linearize(kf_Tcw, mp_pos, active, use_huber):
             """ONE residual pass -> undamped normal-equation blocks + cost.
 
@@ -230,13 +247,7 @@ def solve_ba(
                 gathered[..., 12:].reshape(L, C, P, 6, 3), axis=1)
             Wcp = Wcp.transpose(1, 0, 2, 3)     # [P, L, 6, 3]
 
-            rho_c = jnp.where(
-                use_huber & (r > delta), delta * (2.0 * r - delta), chi2)
-            total = jnp.sum(jnp.where(act, rho_c, 0.0))
-            # chi2/posd ride in the carry so the phase-boundary re-gate and
-            # the final inlier gate reuse THIS pass instead of paying an
-            # extra residual evaluation each (~2 passes per solve saved)
-            return (Hcc, bc, Hpp, bp, Wcp, chi2, posd, total)
+            return (Hcc, bc, Hpp, bp, Wcp)
 
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
@@ -301,14 +312,11 @@ def solve_ba(
         dp = dp * prob.mp_valid[:, None]
         return dxc, dp
 
-    # stereo flag / chi2 threshold per observation is state-independent
+    # stereo flag / chi2 threshold per observation is state-independent;
+    # the between-phase and final chi2 gates (Optimizer.cc:1212-1259)
+    # evaluate against the chi2/posd carried from the last accepted
+    # cost_eval pass
     th_const = jnp.where(obs_uvr[:, 2] >= 0, CHI2_STEREO, CHI2_MONO)
-
-    def gate_from(lin):
-        """Between-phase / final chi2 gate (Optimizer.cc:1212-1259),
-        evaluated from the chi2/posd carried in the linearization."""
-        chi2v, posdv = lin[5], lin[6]
-        return obs_valid & (chi2v <= th_const) & posdv
 
     # schedule as data: per-iteration Huber flag + gate-before-iteration
     # flag, consumed by ONE device loop
@@ -329,48 +337,59 @@ def solve_ba(
     next_b_arr = jnp.asarray(next_b_np)
 
     def cond_fn(carry):
-        it, _, _, _, _, _, conv = carry
+        it, _, _, _, _, conv, _, _, _ = carry
         # stagnation in the FINAL phase ends the schedule (the jump out of
         # earlier phases happens in the body)
         return (it < n_total) & ((conv < 2) | (it < last_start))
 
+    # The loop carry holds ONLY small state: pose/point estimates, the
+    # active mask, and the (cost, chi2, posd) of the CURRENT point.  The
+    # normal-equation blocks (Hcc/Hpp/Wcp, ~8 MB at L=48) are NOT carried:
+    # each iteration linearizes fresh at the current estimate.  g2o's
+    # rejected-step retry re-solves RETAINED blocks with a larger lambda;
+    # linearizing again at the (unchanged) reverted estimate produces the
+    # IDENTICAL blocks, so semantics are preserved while the per-iteration
+    # where-merge of the whole block tuple — which dominated the loop
+    # overhead on TPU (~2 ms/iter at L=48) — disappears.  The trial
+    # acceptance check is a residual-only cost pass (no Jacobians/blocks).
     def body_fn(carry):
-        it, kf_cur, mp_cur, active, lin, lam, conv = carry
+        it, kf_cur, mp_cur, active, lam, conv, cost, chi2c, posdc = carry
         use_huber = huber_arr[it]
 
-        def regate(_):
-            # phase boundary: re-gate actives at the current state (from
-            # the carried chi2 — no extra residual pass) and re-linearize
-            # under the new mask / Huber flag; LM restarts its damping
-            # like a fresh optimize() call
-            a = gate_from(lin)
-            return a, linearize(kf_cur, mp_cur, a, use_huber), \
-                jnp.asarray(1e-4, dtype)
+        regate_now = gate_arr[it]
+        # phase boundary: re-gate actives at the current state (from the
+        # carried chi2 — no extra residual pass); LM restarts its damping
+        # like a fresh optimize() call, and the stagnation counter resets
+        # (a stale no-progress count from the Huber phase would end the
+        # re-gated final phase after a single iteration)
+        gate_a = obs_valid & (chi2c <= th_const) & posdc
+        active = jnp.where(regate_now, gate_a, active)
+        lam = jnp.where(regate_now, jnp.asarray(1e-4, dtype), lam)
+        conv = jnp.where(regate_now, 0, conv)
+        # the Huber flag flips at the boundary, so the carried cost is
+        # re-evaluated under the new (mask, kernel) for a fair acceptance
+        # comparison
+        cost_rg, _, _ = cost_eval(kf_cur, mp_cur, active, use_huber)
+        cost = jnp.where(regate_now, cost_rg, cost)
 
-        active, lin, lam = jax.lax.cond(
-            gate_arr[it], regate, lambda _: (active, lin, lam), None)
-        # a phase boundary reached NATURALLY (without the early-exit jump)
-        # must also restart the stagnation counter: stale no-progress
-        # counts from the Huber phase would end the re-gated final phase
-        # after a single iteration
-        conv = jnp.where(gate_arr[it], 0, conv)
-
+        lin = linearize(kf_cur, mp_cur, active, use_huber)
         dxc, dp = solve_step(lin, lam)
         kf_new = jax.vmap(lambda d, T: se3.exp(d) @ T)(dxc, kf_cur)
         mp_new = mp_cur + dp
-        lin_t = linearize(kf_new, mp_new, active, use_huber)
-        accept = lin_t[-1] < lin[-1]
-        rel_dec = (lin[-1] - lin_t[-1]) / jnp.maximum(lin[-1], 1e-12)
+        cost_t, chi2_t, posd_t = cost_eval(kf_new, mp_new, active, use_huber)
+        accept = cost_t < cost
+        rel_dec = (cost - cost_t) / jnp.maximum(cost, 1e-12)
         kf_out = jnp.where(accept, kf_new, kf_cur)
         mp_out = jnp.where(accept, mp_new, mp_cur)
-        lin_out = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), lin_t, lin)
+        cost_out = jnp.where(accept, cost_t, cost)
+        chi2_out = jnp.where(accept, chi2_t, chi2c)
+        posd_out = jnp.where(accept, posd_t, posdc)
         lam_out = jnp.clip(
             jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e8)
         # early-exit bookkeeping: two consecutive no-progress iterations
         # end the phase — in the final phase that ends the schedule
         # (cond_fn); in an earlier phase the loop JUMPS to the next phase
-        # boundary, where gate_arr triggers the re-gate + re-linearize.
+        # boundary, where gate_arr triggers the re-gate.
         # A REJECTED step is only no-progress once lambda has grown large
         # (a rejection right after the phase-boundary lambda reset is
         # normal LM adaptation, not stagnation — counting those exited
@@ -381,18 +400,20 @@ def solve_ba(
         jump = (conv_t >= 2) & (it < last_start)
         it_out = jnp.where(jump, next_b_arr[it], it + 1)
         conv_out = jnp.where(jump, 0, conv_t)
-        return (it_out, kf_out, mp_out, active, lin_out, lam_out, conv_out)
+        return (it_out, kf_out, mp_out, active, lam_out, conv_out,
+                cost_out, chi2_out, posd_out)
 
     kf_Tcw = prob.kf_Tcw
     mp_pos = prob.mp_pos
     active0 = obs_valid
-    lin0 = linearize(kf_Tcw, mp_pos, active0, huber_arr[0])
-    init = (jnp.asarray(0, jnp.int32), kf_Tcw, mp_pos, active0, lin0,
-            jnp.asarray(1e-4, dtype), jnp.asarray(0, jnp.int32))
-    _, kf_Tcw, mp_pos, _, lin_fin, _, _ = jax.lax.while_loop(
+    cost0, chi20, posd0 = cost_eval(kf_Tcw, mp_pos, active0, huber_arr[0])
+    init = (jnp.asarray(0, jnp.int32), kf_Tcw, mp_pos, active0,
+            jnp.asarray(1e-4, dtype), jnp.asarray(0, jnp.int32),
+            cost0, chi20, posd0)
+    (_, kf_Tcw, mp_pos, _, _, _, _, chi2_fin, posd_fin) = jax.lax.while_loop(
         cond_fn, body_fn, init)
 
     # final inlier gate from the carried chi2 of the last ACCEPTED state
-    # (lin_fin tracks kf_Tcw/mp_pos exactly: rejected trials are not merged)
-    active = gate_from(lin_fin)
+    # (rejected trials are never merged into the carry)
+    active = obs_valid & (chi2_fin <= th_const) & posd_fin
     return kf_Tcw, mp_pos, active.reshape(L, C, F)

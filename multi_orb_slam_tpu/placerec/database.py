@@ -86,6 +86,7 @@ def detect_loop_candidates(
     n_candidates: int = 10,
     q_ids=None,
     q_vals=None,
+    max_frame_id: int | None = None,
 ) -> list:
     """DetectLoopCandidates_cam1 (reference KeyFrameDatabase.cc:119-267).
 
@@ -95,6 +96,16 @@ def detect_loop_candidates(
     covisibility-connected ones, accumulate scores over each candidate's
     covisibility group, threshold.
     Host-side (returns python list of slots): runs once per keyframe.
+
+    `max_frame_id`: when given, keyframes with a newer frame id are not
+    candidates.  The caller's Sim3 stage rejects too-young candidates
+    anyway (loop_closing MIN_LOOP_AGE); excluding them HERE matters because
+    a young disconnected keyframe — e.g. the far side of a tracking cut on
+    a drifted return leg — can otherwise outscore every genuine old revisit
+    (they are near-duplicates of the query), mask them through the
+    0.75*best relative filter, and hijack the temporal-consistency chain
+    with candidates the Sim3 stage can never accept (observed: the
+    natural-drift corridor regression, round 4).
     """
     if q_ids is None:
         # query must already be indexed in the db; callers detecting BEFORE
@@ -109,6 +120,8 @@ def detect_loop_candidates(
     W = np.asarray(ms.covisibility(state, cam0_only=True))
     connected = W[query_kf] >= 15.0
     cand_mask = has & ~connected
+    if max_frame_id is not None:
+        cand_mask &= np.asarray(state.kf_frame_id) <= max_frame_id
     if not cand_mask.any():
         return []
     l1 = np.where(cand_mask, l1, -1.0)

@@ -31,7 +31,7 @@ from multi_orb_slam_tpu.placerec import vocabulary as vocab_mod
 NF = 240
 H, W = 240, 320
 K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
-DRIFT = 0.05
+DRIFT = 0.10
 
 
 def make_cfg():
@@ -62,9 +62,14 @@ def circuit():
         for c in range(2):
             Tcw = np.asarray(T_rc[c]) @ poses[i]
             g, d = syn.render_rgbd(world, K, Tcw, H, W)
-            # natural drift: depth-scale ramp (5%, a realistic depth
-            # calibration error) on the first half-lap only, so the
-            # return to the start arc carries real accumulated offset
+            # natural drift: depth-scale ramp on the first half-lap only,
+            # so the return to the start arc carries real accumulated
+            # offset.  10%, the upper end of real depth-calibration error:
+            # at 5% the round-4 solver tracks the circuit to ~6 cm ATE and
+            # the re-entry re-associates (revisit stays covisibility-
+            # connected, loop detection CORRECTLY suppressed — verified by
+            # covis inspection); disconnection needs the larger ramp, same
+            # finding as test_loop_closure_e2e's 6%->10% bump.
             if 0.08 <= s < 0.45:
                 t = (s - 0.08) / 0.37
                 d = d * (1.0 + DRIFT * np.sin(np.pi * t))

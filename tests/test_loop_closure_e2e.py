@@ -62,21 +62,26 @@ def corridor():
         T = np.eye(4, dtype=np.float32)
         T[:3, 3] = -np.array([x, 0.02 * np.sin(0.3 * i), 0.0], np.float32)
         poses[i] = T
-    # NATURAL drift injection: a smooth depth-scale ramp (up to 6%, the
-    # magnitude of a real depth-camera calibration error) on the outbound
+    # NATURAL drift injection: a smooth depth-scale ramp (up to 10%, the
+    # upper end of real depth-camera calibration error) on the outbound
     # leg only.  The tracker integrates the biased unprojections into
     # genuinely drifted keyframes; on the return the accumulated offset
     # exceeds the matching radius, so re-association cannot silently
     # absorb it (which would be the correct no-loop outcome for small
     # drift — see test_loop_e2e.test_corridor_revisit) and only place
-    # recognition can reconnect the map.
+    # recognition can reconnect the map.  (The ramp was 6% through round
+    # 3; round 4's relevance-ranked local-point search re-associates old
+    # points early enough at 6% that the revisit stays covisibility-
+    # CONNECTED — correctly suppressing loop detection while drift
+    # persists — so 10% is needed to produce the disconnected-revisit
+    # topology this test exists to exercise.)
     frames = []
     for i in range(NF):
         g, d = syn.render_rgbd(world, K, poses[i], H, W)
         s = i / (NF - 1)
         if 0.08 <= s < 0.42:
             t = (s - 0.08) / 0.34
-            d = d * (1.0 + 0.06 * np.sin(np.pi * t))
+            d = d * (1.0 + 0.10 * np.sin(np.pi * t))
         frames.append((g, d))
     # pre-trained vocabulary from scene descriptors (k=10, depth=4)
     cfg = make_cfg()
@@ -123,7 +128,10 @@ def test_natural_drift_loop_closes_and_corrects(corridor):
     assert n_loops >= 1, "the loop-closing chain never fired"
     # the corrected trajectory must beat the loop-disabled control
     assert ate_loop < ate_ctrl, (ate_loop, ate_ctrl)
-    # loop closure must rescue tracking through the conflicted return leg
-    # (measured: control loses ~70 of 320 frames, the loop run ~1)
+    # tracking must stay robust through the conflicted return leg.  (Through
+    # round 3 the control lost ~70 of 320 frames here and loop closure
+    # "rescued" it; round 4's relevance-ranked local search made the control
+    # robust too — both runs now track essentially everything, and the loop
+    # run's win is the ATE assertion above, not frame survival.)
     assert lost_loop <= NF // 20, lost_loop
-    assert lost_loop < lost_ctrl, (lost_loop, lost_ctrl)
+    assert lost_ctrl <= NF // 20, lost_ctrl

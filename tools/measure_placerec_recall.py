@@ -1,27 +1,33 @@
 #!/usr/bin/env python3
-"""Loop-candidate recall/precision on a long multi-revisit sequence.
+"""Loop-candidate recall/precision over MULTIPLE scenes (moving revisits).
 
-VERDICT round-1 item 6's acceptance measurement: place recognition must be
-evaluated on a >= 500-frame sequence with a >= 10^4-word vocabulary and the
-sparse database.  The scenario is a corridor with two out-and-back cycles
-(three passes over the origin region); ground truth defines a revisit as a
-query keyframe within `--radius` meters of a keyframe >= 30 frames older.
+VERDICT round-1 item 6 / round-3 item 5's acceptance measurement: place
+recognition evaluated on long sequences with a >= 10^4-word vocabulary and
+the sparse database, across >= 2 distinct scene geometries so the
+detection thresholds (the 1.3x-minScore forwarding floor was calibrated on
+the corridor) are validated on a scene they were NOT tuned on:
 
-For every keyframe the tool queries `detect_loop_candidates` (the full
-reference pipeline: minScore gate, covisibility exclusion, group
-accumulation) and scores:
+  corridor — two out-and-back cycles along a planar wall (three passes
+             over the origin region), depth-drift on the outbound legs
+  circuit  — outward-facing circular loop in a box room (2.3 laps), the
+             reference fork's corridor-and-corner regime, depth-drift on
+             the first lap
+
+Ground truth defines a revisit as a query keyframe within `radius` meters
+of a valid keyframe >= 30 frames older that is NOT covisibility-connected
+at query time.  For every keyframe the tool queries
+`detect_loop_candidates` (the full reference pipeline: minScore gate,
+covisibility + age exclusion, group accumulation) and scores:
   recall    = revisit KFs for which some candidate is spatially correct
   precision = returned candidates that are spatially correct
 
-Run: [JAX_PLATFORMS=cpu] python tools/measure_placerec_recall.py [n_frames]
+Run: [JAX_PLATFORMS=cpu] python tools/measure_placerec_recall.py \
+        [corridor_frames] [circuit_frames]
 
-Measured state (round 2): recall on MOVING disconnected revisits is ~0 —
-candidate scores sit just below the reference's minScore gate (the min BoW
-similarity over covisibility neighbors; densely-spaced neighbors push it
-high).  Detection wins its margin only when the camera dwells at the
-revisit (see tests/test_loop_closure_e2e.py, which closes its loop at the
-dwell).  This is the honest acceptance measurement VERDICT item 6 asked
-for, and the #1 place-recognition improvement target for round 3.
+History: round-2 recall on moving disconnected revisits was ~0 (scores sat
+under the minScore gate); the round-3 measured-floor forwarding raised it
+to 0.667 on 3 corridor queries; round 4 adds the circuit scene and the
+consistency-earned score slack for a statistically meaningful sample.
 """
 
 import os
@@ -81,22 +87,42 @@ def make_sequence(nf):
         # [0.55,0.72]): without drift past the matching radius the tracker
         # re-associates at every revisit, revisit KFs stay covisibility-
         # connected, and zero loop candidates is the CORRECT output —
-        # place recognition is only exercised on disconnected revisits
+        # place recognition is only exercised on disconnected revisits.
+        # 10%: at 6% the round-4 relevance-ranked local search keeps the
+        # revisits connected (same finding as test_loop_closure_e2e).
         s = i / (nf - 1)
         for a, b in ((0.05, 0.22), (0.55, 0.72)):
             if a <= s < b:
                 t = (s - a) / (b - a)
-                d = d * (1.0 + 0.06 * np.sin(np.pi * t))
+                d = d * (1.0 + 0.10 * np.sin(np.pi * t))
         frames.append((g, d))
     return frames, poses
 
 
-def main():
-    nf = int(sys.argv[1]) if len(sys.argv) > 1 else 520
-    t0 = time.time()
-    frames, poses = make_sequence(nf)
-    print(f"rendered {nf} frames in {time.time()-t0:.0f}s", flush=True)
+def make_circuit_sequence(nf):
+    """Outward-facing circular circuit in a box room, 2.3 laps.
 
+    Every view direction leaves the field of view for a full lap, so each
+    re-entry to a previously seen arc is a place-recognition event; the
+    depth-scale ramp on the first lap drifts the map so re-entries are
+    disconnected.  Distinct geometry AND texture statistics from the
+    corridor scene (closed room, rotation-dominant motion).
+    """
+    world = syn.make_box_world(seed=3, n_points=9000, box=(7.0, 4.0, 7.0))
+    poses = syn.circuit_trajectory(nf, radius=2.2, laps=2.3)
+    frames = []
+    for i in range(nf):
+        g, d = syn.render_rgbd(world, K, poses[i], H, W)
+        s = i / (nf - 1)
+        if 0.06 <= s < 0.40:
+            t = (s - 0.06) / 0.34
+            d = d * (1.0 + 0.10 * np.sin(np.pi * t))
+        frames.append((g, d))
+    return frames, poses
+
+
+def run_scene(name, frames, poses, radius=1.0):
+    nf = len(frames)
     cfg = SlamConfig(n_cams=1, max_feat=512, width=W, height=H,
                      max_frames_kf=30, th_depth=4.0, local_cap=1024,
                      ba_local_cap=2048, orb=orb_mod.ORBConfig(n_features=512))
@@ -106,8 +132,8 @@ def main():
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
     train = np.concatenate(descs)
     voc = vocab_mod.build_vocabulary(train, k=10, depth=4, iters=3)
-    print(f"vocab: {voc.n_words} words from {len(train)} descriptors",
-          flush=True)
+    print(f"[{name}] vocab: {voc.n_words} words from {len(train)} "
+          f"descriptors", flush=True)
     # a k=10 depth-4 tree: nominally 10^4 leaves, slightly fewer when
     # shallow branches exhaust their descriptors early
     assert voc.n_words >= 9_000, \
@@ -141,12 +167,11 @@ def main():
     for i, (g, d) in enumerate(frames):
         slam.track_rgbd(g, d)
         if i % 100 == 0:
-            print(f"f{i} st={slam.tracker.state} "
+            print(f"[{name}] f{i} st={slam.tracker.state} "
                   f"kf={int(slam.tracker.map.n_kf)} "
                   f"loops={lc.n_loops_closed} "
                   f"({(time.time()-t0)/(i+1):.2f}s/f)", flush=True)
 
-    radius = 1.0
     n_rev = n_hit = n_cand = n_cand_ok = 0
     for slot, qfid, cands, conn, fid, kv in events:
         if qfid < 0:
@@ -172,22 +197,44 @@ def main():
             n_cand_ok += (kv[c]
                           and np.linalg.norm(gt_pos[c] - qp) < 2 * radius)
 
+    print(f"[{name}] revisit queries: {n_rev}  detected: {n_hit}  "
+          f"candidates: {n_cand}  correct: {n_cand_ok}  "
+          f"loops: {lc.n_loops_closed}", flush=True)
+    return {"n_frames": nf, "vocab_words": int(voc.n_words),
+            "revisit_queries": int(n_rev), "detected": int(n_hit),
+            "candidates": int(n_cand), "correct_candidates": int(n_cand_ok),
+            "loops_closed": int(lc.n_loops_closed)}
+
+
+def main():
+    nf_corr = int(sys.argv[1]) if len(sys.argv) > 1 else 520
+    nf_circ = int(sys.argv[2]) if len(sys.argv) > 2 else 420
+    t0 = time.time()
+    scenes = {}
+    frames, poses = make_sequence(nf_corr)
+    print(f"rendered corridor {nf_corr} frames in {time.time()-t0:.0f}s",
+          flush=True)
+    scenes["corridor"] = run_scene("corridor", frames, poses)
+    t0 = time.time()
+    frames, poses = make_circuit_sequence(nf_circ)
+    print(f"rendered circuit {nf_circ} frames in {time.time()-t0:.0f}s",
+          flush=True)
+    scenes["circuit"] = run_scene("circuit", frames, poses)
+
+    n_rev = sum(s["revisit_queries"] for s in scenes.values())
+    n_hit = sum(s["detected"] for s in scenes.values())
+    n_cand = sum(s["candidates"] for s in scenes.values())
+    n_ok = sum(s["correct_candidates"] for s in scenes.values())
     recall = n_hit / max(n_rev, 1)
-    precision = n_cand_ok / max(n_cand, 1)
-    print(f"disconnected-revisit queries: {n_rev}  detected: {n_hit}  "
-          f"recall: {recall:.2f}")
-    print(f"candidates: {n_cand}  spatially correct: {n_cand_ok}  "
-          f"precision: {precision:.2f}")
-    print(f"loops closed: {lc.n_loops_closed}")
+    precision = n_ok / max(n_cand, 1)
     import json
     print(json.dumps({
-        "metric": "placerec_moving_revisit", "n_frames": int(nf),
-        "vocab_words": int(voc.n_words),
+        "metric": "placerec_moving_revisit_multiscene",
+        "scenes": scenes,
         "revisit_queries": int(n_rev), "detected": int(n_hit),
         "recall": round(float(recall), 3),
-        "candidates": int(n_cand), "correct_candidates": int(n_cand_ok),
+        "candidates": int(n_cand), "correct_candidates": int(n_ok),
         "precision": round(float(precision), 3),
-        "loops_closed": int(lc.n_loops_closed),
     }))
 
 

@@ -166,7 +166,7 @@ A18r = jax.random.normal(jax.random.PRNGKey(1), (L, Cc * F, 18), dtype)
 def hcc_step(c):
     a18, acc = c
     H18 = jax.lax.dot_general(a18, a18, (((1,), (1,)), ((0,), (0,))))
-    return (a18 + 1e-30 * H18[:, :1, 0], acc + 1e-30 * jnp.sum(H18))
+    return (a18 + 1e-30 * H18[:, :1, :1], acc + 1e-30 * jnp.sum(H18))
 
 amortized("Hcc dot_general [L,CF,18]^2", hcc_step,
           (A18r, jnp.zeros((), dtype)))
@@ -313,3 +313,100 @@ def full_iter(c):
 
 amortized("linearize + solve + apply (no while_loop)", full_iter,
           (prob.kf_Tcw, prob.mp_pos, jnp.asarray(1e-4, dtype)), reps=12)
+
+
+# 4. a REAL threaded LM body: linearize THIS iterate, solve on ITS blocks,
+# apply — no while_loop, no fixed-closure hoisting (the full_iter above
+# reuses lin0 and gets LICM'd; this one cannot be)
+def solve_on(lin, lam):
+    Hcc1, bc1, Hpp1, bp1, Wcp1, _ = lin
+
+    def damp(Hm, eye):
+        d = jnp.diagonal(Hm, axis1=-2, axis2=-1)
+        tr_ = jnp.sum(d, axis=-1, keepdims=True)
+        dd = lam * d + 1e-6 * tr_ + 1e-9
+        return Hm + dd[..., :, None] * eye
+    eye3_ = jnp.eye(3, dtype=dtype)
+    eye6_ = jnp.eye(6, dtype=dtype)
+    Hcc_d = damp(Hcc1, eye6_)
+    Hpp_d = damp(Hpp1, eye3_) + jnp.where(
+        prob.mp_valid, 0.0, 1.0)[:, None, None] * eye3_
+    a, b, c_ = Hpp_d[..., 0, 0], Hpp_d[..., 0, 1], Hpp_d[..., 0, 2]
+    d_, e_, f = Hpp_d[..., 1, 0], Hpp_d[..., 1, 1], Hpp_d[..., 1, 2]
+    g, h, i = Hpp_d[..., 2, 0], Hpp_d[..., 2, 1], Hpp_d[..., 2, 2]
+    A = e_ * i - f * h; B = c_ * h - b * i; Cc_ = b * f - c_ * e_
+    D = f * g - d_ * i; E = a * i - c_ * g; Ff = c_ * d_ - a * f
+    G = d_ * h - e_ * g; Hh = b * g - a * h; I = a * e_ - b * d_
+    det = a * A + b * D + c_ * G
+    det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    Hpp_inv = jnp.stack([jnp.stack([A, B, Cc_], -1),
+                         jnp.stack([D, E, Ff], -1),
+                         jnp.stack([G, Hh, I], -1)], -2) / det[..., None, None]
+    l11 = jnp.sqrt(jnp.maximum(Hpp_inv[:, 0, 0], 1e-20))
+    l21 = Hpp_inv[:, 1, 0] / l11
+    l31 = Hpp_inv[:, 2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(Hpp_inv[:, 1, 1] - l21 * l21, 1e-20))
+    l32 = (Hpp_inv[:, 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(Hpp_inv[:, 2, 2] - l31 * l31 - l32 * l32,
+                               1e-20))
+    c0 = (Wcp1[..., 0] * l11[:, None, None]
+          + Wcp1[..., 1] * l21[:, None, None]
+          + Wcp1[..., 2] * l31[:, None, None])
+    c1 = (Wcp1[..., 1] * l22[:, None, None]
+          + Wcp1[..., 2] * l32[:, None, None])
+    c2 = Wcp1[..., 2] * l33[:, None, None]
+    Yc = jnp.stack([c0, c1, c2], axis=-1)
+    Yr = Yc.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
+    S = -Yr.T @ Yr
+    Wr_flat = Wcp1.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
+    bp3 = bp1.reshape(P, 3)
+    hb = jnp.einsum("pij,pj->pi", Hpp_inv, bp3)
+    li = jnp.arange(L)
+    S = S.reshape(L, 6, L, 6)
+    S = S.at[li, :, li, :].add(Hcc_d)
+    S = S.reshape(L * 6, L * 6)
+    free6 = jnp.repeat(prob.kf_free, 6)
+    S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
+    S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+    rhs = bc1.reshape(L * 6) - Wr_flat.T @ hb.reshape(P * 3)
+    rhs = jnp.where(free6, rhs, 0.0)
+    dxc = -jnp.linalg.solve(S, rhs)
+    dxc = jnp.where(free6, dxc, 0.0).reshape(L, 6)
+    WTdx = (Wr_flat @ dxc.reshape(L * 6)).reshape(P, 3)
+    dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp3 + WTdx)
+    return dxc, dp * prob.mp_valid[:, None]
+
+
+def real_iter(c):
+    kf_Tcw, mp_pos, lam = c
+    lin = linearize(kf_Tcw, mp_pos)
+    dxc, dp = solve_on(lin, lam)
+    kf_new = jax.vmap(lambda d, T: se3.exp(d) @ T)(dxc, kf_Tcw)
+    return (kf_new, mp_pos + dp * 1e-6, lam * 1.0000001)
+
+amortized("REAL iter: linearize+solve+apply (fori)", real_iter,
+          (prob.kf_Tcw, prob.mp_pos, jnp.asarray(1e-4, dtype)), reps=12)
+
+
+# 5. same REAL iter inside a lax.while_loop with an iteration counter —
+# isolates while_loop-specific carry/layout overhead vs fori
+def wl_step(c):
+    kf0, mp0, lam0, acc = c
+
+    def cond_fn(s):
+        return s[0] < 12
+
+    def body_fn(s):
+        it, kf_Tcw, mp_pos, lam = s
+        kf_new, mp_new, lam_new = real_iter((kf_Tcw, mp_pos, lam))
+        return (it + 1, kf_new, mp_new, lam_new)
+
+    _, kfn, mpn, lamn = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.asarray(0, jnp.int32), kf0, mp0, lam0))
+    return (kf0 + 1e-30 * kfn, mp0 + 1e-30 * mpn, lam0,
+            acc + 1e-30 * jnp.sum(kfn))
+
+t12 = amortized("12x REAL iter in while_loop", wl_step,
+                (prob.kf_Tcw, prob.mp_pos, jnp.asarray(1e-4, dtype),
+                 jnp.zeros((), dtype)), reps=3)
+print(f"  -> per while_loop iteration: {t12 / 12:.3f} ms", flush=True)
