@@ -377,59 +377,110 @@ def track_reference_kf(
     return Tcw, frame_mp, n_matches, n_inl
 
 
-@partial(jax.jit, static_argnums=(5,))
-def track_local_map(
-    state: ms.MapState,
-    Tcw: jnp.ndarray,
-    cur: frame_mod.FrameData,
-    frame_mp: jnp.ndarray,
-    calib: cam_mod.CameraParams,
-    cfg: SlamConfig,
-):
-    """Local-map tracking (reference TrackLocalMap, src/Tracking.cc:1340-1405).
+@partial(jax.jit, static_argnums=(2,))
+def build_local_points_cache(
+    state: ms.MapState, anchor_slot: jnp.ndarray, cfg: SlamConfig
+) -> search.LocalPoints:
+    """Local-map point batch anchored on a keyframe (normally the newest).
 
-    Local keyframes = those sharing observations with the current frame
-    (UpdateLocalKeyFrames, Tracking.cc:1778-1949); local points = their map
-    points; search + final pose optimization.
+    Reference UpdateLocalKeyFrames/Points (src/Tracking.cc:1778-1949)
+    rebuilds the local set from the CURRENT frame's matches every frame.
+    The set only changes materially when the reference keyframe changes, so
+    this build runs once per keyframe insertion (and after mapping/loop
+    corrections) instead of on the per-frame hot path: local keyframes =
+    those sharing observations with the anchor KF, local points = their
+    points, relevance-ranked by the observing KF's covisibility weight so
+    the most relevant points fill the capped batch first.  Measured: the
+    per-frame variant cost ~1.4 ms/frame (top_k over max_mp + 6 full
+    gathers, BENCH_r04 regression); per-KF it amortizes to ~0.1 ms/frame.
+
+    The gather takes a SUPERSET (4x local_cap): per frame, track_local_map
+    re-ranks the superset excluding points already matched in that frame
+    (cheap [S]-sized top_k).  Capping at local_cap here would waste most of
+    the batch on the anchor's own points — which the motion model has
+    usually already matched — and starve the search of fresh candidates
+    (observed: 138/240 frames lost on the outward circuit with a
+    tight-capped cache).
     """
     M = cfg.max_mp
     K, C, F = state.kf_mp.shape
-    # mark current frame's points
-    fmp = frame_mp.reshape(-1)
-    in_frame = jnp.zeros(M, bool).at[jnp.where(fmp >= 0, fmp, M - 1)].max(fmp >= 0)
-    # KF weights: shared observation counts
+    amp = state.kf_mp[anchor_slot].reshape(-1)
+    in_anchor = jnp.zeros(M, bool).at[
+        jnp.where(amp >= 0, amp, M - 1)].max(amp >= 0)
+    # KF weights: shared observation counts with the anchor
     kf_obs = state.kf_mp.reshape(K, -1)
     kf_w = jnp.sum(
         jnp.where((kf_obs >= 0) & state.kf_valid[:, None],
-                  in_frame[jnp.clip(kf_obs, 0, M - 1)], False).astype(jnp.int32),
+                  in_anchor[jnp.clip(kf_obs, 0, M - 1)], False).astype(jnp.int32),
         axis=-1,
     )
     # local KFs: any sharing (reference caps at 80 KFs)
     n_local = 80
     _, local_kfs = jax.lax.top_k(kf_w, min(n_local, K))
     local_ok = kf_w[local_kfs] > 0
-    # local points: observed by local KFs
-    local_mask = jnp.zeros(M, bool)
     lk = jnp.where(local_ok, local_kfs, 0)
     obs_of_local = state.kf_mp[lk].reshape(local_ok.shape[0], -1)
     obs_valid = (obs_of_local >= 0) & local_ok[:, None]
-    local_mask = local_mask.at[
-        jnp.where(obs_valid, obs_of_local, M - 1).reshape(-1)
-    ].max(obs_valid.reshape(-1))
-    local_mask = local_mask & state.mp_valid & ~in_frame
-
+    tgt = jnp.where(obs_valid, obs_of_local, M - 1).reshape(-1)
+    local_mask = jnp.zeros(M, bool).at[tgt].max(obs_valid.reshape(-1))
+    local_mask = local_mask & state.mp_valid
     # relevance ranking for the capped gather: a point inherits the largest
     # share weight among the local keyframes observing it, so the points of
-    # the KFs most covisible with THIS frame fill the batch first (the
+    # the KFs most covisible with the anchor fill the batch first (the
     # reference searches the full unbounded local set)
     w_row = kf_w[lk].astype(jnp.float32)
-    rel = jnp.zeros(M, jnp.float32).at[
-        jnp.where(obs_valid, obs_of_local, M - 1).reshape(-1)
-    ].max(jnp.where(obs_valid,
-                    w_row[:, None],
-                    -jnp.inf).reshape(-1))
-    pts = search.gather_local_points(state, local_mask, cfg.local_cap,
-                                     priority=rel)
+    rel = jnp.zeros(M, jnp.float32).at[tgt].max(
+        jnp.where(obs_valid, w_row[:, None], -jnp.inf).reshape(-1))
+    cap = min(4 * cfg.local_cap, cfg.max_mp)
+    return search.gather_local_points(state, local_mask, cap, priority=rel)
+
+
+@partial(jax.jit, static_argnums=(6,))
+def track_local_map(
+    state: ms.MapState,
+    Tcw: jnp.ndarray,
+    cur: frame_mod.FrameData,
+    frame_mp: jnp.ndarray,
+    pts: search.LocalPoints,
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+):
+    """Local-map tracking (reference TrackLocalMap, src/Tracking.cc:1340-1405).
+
+    `pts` is the per-keyframe cached local point batch
+    (build_local_points_cache); this per-frame stage only re-validates it
+    against the live map (culled/merged points drop out) and excludes points
+    already matched by motion-model tracking, then searches + runs the final
+    pose optimization.
+    """
+    M = cfg.max_mp
+    # mark current frame's points: cached points already matched in this
+    # frame must not search for a second feature
+    fmp = frame_mp.reshape(-1)
+    in_frame = jnp.zeros(M, bool).at[jnp.where(fmp >= 0, fmp, M - 1)].max(fmp >= 0)
+    gi = jnp.clip(pts.idx, 0, M - 1)
+    ok = pts.valid & state.mp_valid[gi] & ~in_frame[gi]
+    if pts.idx.shape[0] > cfg.local_cap:
+        # re-rank the cached superset for THIS frame: drop in-frame /
+        # culled points first so the whole search budget goes to fresh
+        # candidates, exactly like the old per-frame gather — but over the
+        # [S] superset instead of the [M] map (S-sized top_k + row
+        # gathers; the [M]-wide scatters/top_k live in the per-KF build)
+        key = jnp.where(ok, pts.rel, -jnp.inf)
+        _, sel = jax.lax.top_k(key, cfg.local_cap)
+        ok_s = ok[sel]
+        gsel = jnp.clip(pts.idx[sel], 0, M - 1)
+        pts = search.LocalPoints(
+            idx=jnp.where(ok_s, pts.idx[sel], -1),
+            pos=state.mp_pos[gsel],
+            desc=pts.desc[sel],
+            normal=pts.normal[sel],
+            min_dist=pts.min_dist[sel],
+            max_dist=pts.max_dist[sel],
+            valid=ok_s,
+        )
+    else:
+        pts = pts._replace(valid=ok, pos=state.mp_pos[gi])
     taken = frame_mp >= 0
     new_mp, visible = search.search_points_in_frame(
         pts, cur.xy_und, cur.uright, cur.level, cur.desc, cur.valid, taken,
@@ -471,7 +522,7 @@ def track_local_map(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(8,))
+@partial(jax.jit, static_argnums=(9,))
 def track_frame_fused(
     state: ms.MapState,
     prev: frame_mod.FrameData,
@@ -480,6 +531,7 @@ def track_frame_fused(
     velocity: jnp.ndarray,
     tstate: jnp.ndarray,       # [3] int32: last_kf_frame, ref_kf_tracked,
                                #            only_tracking flag
+    local_pts: search.LocalPoints,
     cur: frame_mod.FrameData,
     calib: cam_mod.CameraParams,
     cfg: SlamConfig,
@@ -523,7 +575,7 @@ def track_frame_fused(
     pre_ok = n_inl2 >= cfg.min_matches_motion
 
     state3, Tcw3, fmp3, n_inl3, n_ct, n_cu = track_local_map(
-        state, Tcw2, cur, fmp2, calib, cfg)
+        state, Tcw2, cur, fmp2, local_pts, calib, cfg)
     ok = pre_ok & (n_inl3 >= cfg.min_inliers_track)
 
     # keyframe decision (NeedNewKeyFrame) on device
@@ -583,7 +635,7 @@ def track_frame_fused(
             ref_slot_out, ref_pose_out, ref_fid_out)
 
 
-@partial(jax.jit, static_argnums=(9,))
+@partial(jax.jit, static_argnums=(10,))
 def track_frame_fused_images(
     state: ms.MapState,
     prev: frame_mod.FrameData,
@@ -591,6 +643,7 @@ def track_frame_fused_images(
     prev_mp: jnp.ndarray,
     velocity: jnp.ndarray,
     tstate: jnp.ndarray,
+    local_pts: search.LocalPoints,
     grays: jnp.ndarray,
     depths: jnp.ndarray,
     calib: cam_mod.CameraParams,
@@ -605,8 +658,8 @@ def track_frame_fused_images(
     """
     fr = frame_mod.build_frame(grays, depths, calib, cfg.orb)
     out = track_frame_fused(
-        state, prev, prev_Tcw, prev_mp, velocity, tstate, fr, calib, cfg,
-        frame_id)
+        state, prev, prev_Tcw, prev_mp, velocity, tstate, local_pts, fr,
+        calib, cfg, frame_id)
     return (fr,) + tuple(out)
 
 
@@ -675,11 +728,53 @@ class Tracker:
         self._pending = []         # FIFO of deferred fused-step scalar packs
         self._tstate_dev = None    # device [3]: last_kf_frame, ref_tracked, flag
         self._tstate_dirty = True
+        self._local_pts = None     # per-KF cached local point batch
+        self._pending_pose_corr = None  # [4,4] right-multiplicative pose fix
         self.last_n_inliers = 0
         # (frame_id, timestamp, ref_kf_slot, Tcr ndarray, lost) — relative to
         # the reference KF so later BA/loop corrections propagate into the
         # saved trajectory (reference mlRelativeFramePoses, Tracking.h:113-118)
         self.trajectory = []
+
+    def invalidate_local_cache(self):
+        """Drop the per-KF local point batch; rebuilt lazily next frame.
+
+        Call after any external map replacement (loop correction, GBA
+        merge, load_map) in addition to the automatic per-KF refresh."""
+        self._local_pts = None
+
+    def queue_pose_correction(self, D):
+        """Right-multiplicative correction for the live tracking pose.
+
+        When the mapping/loop stage moves the newest keyframe (local BA
+        nudges it; a loop correction JUMPS it, reference
+        src/LoopClosing.cc:629-727), the live frame rigidly attached to it
+        must follow: T' = T @ D with D = inv(Tcw_kf_old) @ Tcw_kf_new.
+        The reference gets this implicitly — its Tracking thread reads the
+        corrected reference-KF pose through mlRelativeFramePoses; without
+        it, the first frame after a loop closure searches the corrected
+        map from the uncorrected pose and drops to LOST (observed on the
+        circuit at the loop-closure frame).  Velocity (T_t inv(T_{t-1}))
+        is right-multiplication invariant, so it needs no fix."""
+        self._pending_pose_corr = (
+            D if self._pending_pose_corr is None
+            else self._pending_pose_corr @ D)
+
+    def _apply_pose_correction(self):
+        if self._pending_pose_corr is None:
+            return
+        D = self._pending_pose_corr
+        self._pending_pose_corr = None
+        self.Tcw = self.Tcw @ D
+        if self.prev_Tcw is not None:
+            self.prev_Tcw = self.prev_Tcw @ D
+
+    def _ensure_local_pts(self):
+        if self._local_pts is None:
+            self._local_pts = build_local_points_cache(
+                self.map, jnp.asarray(self.last_kf_slot, jnp.int32),
+                self.cfg)
+        return self._local_pts
 
     def process(self, grays: np.ndarray, depths: np.ndarray,
                 timestamp: float | None = None):
@@ -712,7 +807,8 @@ class Tracker:
          self._tstate_dev, scalars, ref_slot, ref_pose, ref_fid) = \
             track_frame_fused_images(
                 self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
-                self.velocity, tstate, grays, depths, self.calib, cfg, fid)
+                self.velocity, tstate, self._ensure_local_pts(), grays,
+                depths, self.calib, cfg, fid)
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
         self._record(ref_slot, ref_pose, ref_fid)
         self._push_pending(scalars)
@@ -768,6 +864,10 @@ class Tracker:
                 new_map = self.kf_inserted_cb(kf_slot)
                 if new_map is not None:
                     self.map = new_map
+            # refresh the local point batch against the post-mapping map
+            # (new points, fused/culled points, BA-moved positions)
+            self.invalidate_local_cache()
+            self._apply_pose_correction()
 
     def _process_ok_fused(self, fr: frame_mod.FrameData):
         cfg = self.cfg
@@ -781,7 +881,8 @@ class Tracker:
          self._tstate_dev, scalars, ref_slot, ref_pose,
          ref_fid) = track_frame_fused(
             self.map, self.prev_frame, self.prev_Tcw, self.prev_mp,
-            self.velocity, tstate, fr, self.calib, cfg, fid)
+            self.velocity, tstate, self._ensure_local_pts(), fr, self.calib,
+            cfg, fid)
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, self.Tcw
         self._record(ref_slot, ref_pose, ref_fid)
         self._push_pending(scalars)
@@ -869,7 +970,8 @@ class Tracker:
         # --- local map tracking ---
         (self.map, Tcw, frame_mp, n_inl,
          n_close_tracked, n_close_untracked) = track_local_map(
-            self.map, Tcw, fr, frame_mp, self.calib, cfg
+            self.map, Tcw, fr, frame_mp, self._ensure_local_pts(),
+            self.calib, cfg
         )
         n_inl, n_close_tracked, n_close_untracked = (int(v) for v in
             np.asarray(jnp.stack([n_inl, n_close_tracked,
@@ -920,6 +1022,11 @@ class Tracker:
                 new_map = self.kf_inserted_cb(self.last_kf_slot)
                 if new_map is not None:
                     self.map = new_map
+            self.invalidate_local_cache()
+            if self._pending_pose_corr is not None:
+                Tcw = Tcw @ self._pending_pose_corr
+                self.Tcw = Tcw
+                self._pending_pose_corr = None
 
         self.prev_frame, self.prev_mp, self.prev_Tcw = fr, frame_mp, Tcw
         self._record()

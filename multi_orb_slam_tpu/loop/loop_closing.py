@@ -95,6 +95,7 @@ MIN_INLIERS_SIM3 = 20     # LoopClosing.cc:461
 MIN_TOTAL_MATCHES = 40    # LoopClosing.cc:522
 CONSISTENCY_TH = 3        # LoopClosing.cc:53 (mnCovisibilityConsistencyTh)
 DETECT_GAP = 10           # LoopClosing.cc:137 (mnId < mLastLoopKFid+10)
+MAX_RELAX_STREAK = 3      # consecutive relaxed-only chain extensions allowed
 MIN_LOOP_AGE = 30         # frames: a loop candidate must be genuinely old.
                           # The reference relies on covisibility exclusion
                           # alone; after tracking losses fragment the map, a
@@ -128,6 +129,7 @@ class LoopCloser:
         self._train_descs = []
         self.last_loop_kf = -DETECT_GAP
         self.consistent_groups = []  # [(set_of_kfs, count)]
+        self._relax_streak = 0       # relaxed-only extensions in a row
         self.loop_pairs = []         # accumulated loop edges
         self.n_loops_closed = 0
         self._pending_bow = []
@@ -149,6 +151,7 @@ class LoopCloser:
         self._gba_pending = None
         self._pending_bow = []
         self.consistent_groups = []
+        self._relax_streak = 0
         self.loop_pairs = []
         self.last_loop_kf = -DETECT_GAP
         if self.voc is not None:
@@ -232,7 +235,8 @@ class LoopCloser:
         # corridor).  Temporal consistency substitutes for score margin;
         # geometric acceptance still requires the full Sim3 chain (15 BoW
         # pairs, 20 RANSAC + 20 LM inliers, 40 total matches).
-        if self.consistent_groups:
+        strict = list(cands)
+        if self.consistent_groups and self._relax_streak < MAX_RELAX_STREAK:
             chain = set()
             for g, cnt in self.consistent_groups:
                 if cnt >= 1:
@@ -241,16 +245,22 @@ class LoopCloser:
                 relaxed = db_mod.detect_loop_candidates(
                     self.db, state, kf_slot, max(0.75 * min_score, 0.0),
                     q_ids=q_ids, q_vals=q_vals, max_frame_id=max_fid)
-                W_rel = np.asarray(ms.covisibility(state, cam0_only=True))
                 for c in relaxed:
                     if c in cands:
                         continue
-                    group = set(np.nonzero(W_rel[c] > 0)[0].tolist()) | {c}
+                    group = set(np.nonzero(W[c] > 0)[0].tolist()) | {c}
                     if group & chain:
                         cands.append(c)
         if not cands:
             self.consistent_groups = []
+            self._relax_streak = 0
             return []
+        # a chain may extend on relaxed-only hits for at most
+        # MAX_RELAX_STREAK consecutive keyframes; after that it must earn a
+        # full-minScore hit or die.  Bounds the Sim3 RANSAC/LM cost a
+        # spurious self-sustaining chain can charge in repetitive scenes
+        # (the geometric gates already protect correctness, not cost).
+        self._relax_streak = 0 if strict else self._relax_streak + 1
         # temporal consistency: a candidate's covis group must reappear in
         # CONSISTENCY_TH consecutive keyframes (LoopClosing.cc:210-280)
         enough = []

@@ -192,12 +192,14 @@ def run_local_ba(
 ) -> ms.MapState:
     """Full local BA pass around a keyframe (build -> solve -> apply).
 
-    Default schedule is 5 Huber + 8 plain LM iterations with ONE
-    residual linearization per iteration (the solver retains the normal
-    equations on rejected steps, g2o's actual Levenberg flow) — 13
-    evaluations where the reference's 5+10 accept-then-relinearize
-    schedule (Optimizer.cc:1215,1259) pays 30, at matching benchmark and
-    cold-start accuracy.
+    Default schedule is 5 Huber + 8 plain LM iterations.  The solver
+    carries only small state (poses/points/cost) through its while_loop:
+    each iteration linearizes fresh at the current estimate and accepts or
+    rejects the trial step with a residual-only cost pass (~30x cheaper
+    than a linearization), so a rejected step re-linearizes at the
+    unchanged estimate — identical blocks, identical semantics to g2o's
+    retained-blocks Levenberg retry, without carrying the ~8 MB block
+    tuple through the loop (local_ba.solve_ba).
     """
     prob = build_local_problem(
         state, jnp.asarray(center_kf, jnp.int32), cfg, n_free, n_fixed

@@ -40,6 +40,10 @@ class LocalPoints(NamedTuple):
     min_dist: jnp.ndarray  # [L]
     max_dist: jnp.ndarray  # [L]
     valid: jnp.ndarray     # [L] bool
+    rel: jnp.ndarray | None = None  # [L] relevance of each point (higher
+                                    # first; -inf pad) — kept so a cached
+                                    # superset can be re-ranked per frame
+                                    # without touching the [M] arrays
 
 
 def gather_local_points(
@@ -60,7 +64,7 @@ def gather_local_points(
     """
     if priority is not None:
         key = jnp.where(mask, priority.astype(jnp.float32), -jnp.inf)
-        _, order = jax.lax.top_k(key, cap)
+        kv, order = jax.lax.top_k(key, cap)
         sel_valid = mask[order]
         idx = jnp.where(sel_valid, order, -1)
         g = jnp.clip(order, 0, None)
@@ -72,6 +76,7 @@ def gather_local_points(
             min_dist=state.mp_min_dist[g],
             max_dist=state.mp_max_dist[g],
             valid=sel_valid,
+            rel=jnp.where(sel_valid, kv, -jnp.inf),
         )
     score = mask.astype(jnp.int32)
     # stable selection of masked points: rank by (mask, index)
@@ -87,6 +92,8 @@ def gather_local_points(
         min_dist=state.mp_min_dist[g],
         max_dist=state.mp_max_dist[g],
         valid=sel_valid,
+        rel=jnp.where(sel_valid,
+                      -jnp.arange(cap, dtype=jnp.float32), -jnp.inf),
     )
 
 

@@ -63,9 +63,17 @@ def make_global_ba(cfg: SlamConfig):
         delta_s = jnp.sqrt(CHI2_STEREO)
 
         def residual_state(Tcw_all, pos_all):
-            return residuals.reproj_residual(
-                Tcw_all[obs_kf], pos_all[mp_idx], T_rc[obs_cam],
-                K_intr[obs_cam], bf, uvr)
+            # structured-broadcast residual pass: pose/extrinsic enter as
+            # [K,1,1]/[1,C,1] broadcasts over the [K, C, F] layout instead
+            # of [N]-wide gathers (N = K*C*F is ~786k at full capacity —
+            # the Tcw gather alone materialized 50 MB per pass)
+            out = residuals.reproj_residual(
+                Tcw_all[:, None, None], pos_all[mp_idx].reshape(K, C, F, 3),
+                T_rc[None, :, None], K_intr[None, :, None], bf,
+                uvr.reshape(K, C, F, 3))
+            e, Jc, Jp, is_st, posd = out
+            return (e.reshape(N, 3), Jc.reshape(N, 3, 6),
+                    Jp.reshape(N, 3, 3), is_st.reshape(N), posd.reshape(N))
 
         def outer(carry, _):
             Tcw_all, pos_all, lam = carry
@@ -214,14 +222,14 @@ def _chi2_gate(kf_Tcw, kf_mp, obs_uvr, obs_is2, mp_pos, T_rc, K_intr, bf,
     K, C, F = kf_mp.shape
     M = mp_pos.shape[0]
     N = K * C * F
-    obs_kf = jnp.broadcast_to(
-        jnp.arange(K, dtype=jnp.int32)[:, None, None], (K, C, F)).reshape(N)
-    obs_cam = jnp.broadcast_to(
-        jnp.arange(C, dtype=jnp.int32)[None, :, None], (K, C, F)).reshape(N)
     mp_idx = jnp.clip(kf_mp.reshape(N), 0, M - 1)
     e, _, _, is_st, posd = residuals.reproj_residual(
-        kf_Tcw[obs_kf], mp_pos[mp_idx], T_rc[obs_cam], K_intr[obs_cam], bf,
-        obs_uvr.reshape(N, 3), want_jac=False)
+        kf_Tcw[:, None, None], mp_pos[mp_idx].reshape(K, C, F, 3),
+        T_rc[None, :, None], K_intr[None, :, None], bf,
+        obs_uvr.reshape(K, C, F, 3), want_jac=False)
+    e = e.reshape(N, 3)
+    is_st = is_st.reshape(N)
+    posd = posd.reshape(N)
     row = residuals.row_weights(is_st, e.dtype)
     chi2 = jnp.sum(e * e * row, -1) * obs_is2.reshape(N)
     th = jnp.where(is_st, CHI2_STEREO, CHI2_MONO) * scale

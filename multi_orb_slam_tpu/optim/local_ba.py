@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import se3
+from ..ops import pallas_kernels as _pk
 from . import residuals
 from .pose_opt import CHI2_MONO, CHI2_STEREO
 
@@ -118,7 +119,9 @@ def solve_ba(
     has_inv = inv_lc >= 0                       # [LC, P]
     ginv = jnp.clip(inv_lc, 0, F - 1)
 
-    from ..ops import pallas_kernels as _pk
+    # NOTE: _pk import lives at module level: importing it lazily inside
+    # this (traced) function runs ops/orb.py's module-level jnp constants
+    # under the ambient trace, turning them into leaked tracers
     inv_raw = jnp.where(has_inv, ginv, -1)
 
     def point_sums(vals_n, trailing_shape):
@@ -165,12 +168,22 @@ def solve_ba(
         ], -2)
         return adj / det[..., None, None]
 
-    def residual_state(kf_Tcw, mp_pos):
-        Tcw_o = kf_Tcw[obs_kf]
-        Xw_o = mp_pos[mp_idx]
-        Trc_o = T_rc[obs_cam]
-        K_o = K[obs_cam]
-        return residuals.reproj_residual(Tcw_o, Xw_o, Trc_o, K_o, bf, obs_uvr)
+    def residual_state(kf_Tcw, mp_pos, want_jac=True):
+        """Structured-broadcast residual pass: poses/extrinsics enter as
+        [L,1,1]/[1,C,1] broadcasts over the [L, C, F] observation layout
+        instead of [N]-wide gathers (three gather latency floors per pass
+        on this backend); only the point gather (mp_pos[mp_idx]) remains.
+        Outputs are flattened back to [N, ...]."""
+        Xw_o = mp_pos[mp_idx].reshape(L, C, F, 3)
+        e, Jc, Jp, is_st, posd = residuals.reproj_residual(
+            kf_Tcw[:, None, None], Xw_o, T_rc[None, :, None],
+            K[None, :, None], bf, obs_uvr.reshape(L, C, F, 3),
+            want_jac=want_jac)
+        if want_jac:
+            return (e.reshape(N, 3), Jc.reshape(N, 3, 6),
+                    Jp.reshape(N, 3, 3), is_st.reshape(N), posd.reshape(N))
+        return (e.reshape(N, 3), None, None, is_st.reshape(N),
+                posd.reshape(N))
 
     def chi2_of(e, is_st):
         row = residuals.row_weights(is_st, dtype)
@@ -181,9 +194,8 @@ def solve_ba(
         check.  No Jacobians, no normal-equation blocks: ~30x cheaper than
         a full linearization on TPU (the blocks are what cost memory
         traffic), which is what lets the LM loop carry only small state."""
-        e, _, _, is_st, posd = residuals.reproj_residual(
-            kf_Tcw[obs_kf], mp_pos[mp_idx], T_rc[obs_cam], K[obs_cam], bf,
-            obs_uvr, want_jac=False)
+        e, _, _, is_st, posd = residual_state(kf_Tcw, mp_pos,
+                                              want_jac=False)
         act = active & obs_valid & posd
         chi2 = chi2_of(e, is_st)
         delta = jnp.where(is_st, delta_s, delta_m)
@@ -211,7 +223,8 @@ def solve_ba(
             w = obs_is2 * hw * act.astype(dtype)
             Wr = row * w[:, None]              # [N, 3] row weights
 
-            free_o = prob.kf_free[obs_kf]
+            free_o = jnp.broadcast_to(
+                prob.kf_free[:, None, None], (L, C, F)).reshape(N)
             Jc_eff = Jc * free_o[:, None, None].astype(dtype)
 
             # H_cc blocks [L, 6, 6] and rhs: the KF index is the structured
@@ -368,9 +381,13 @@ def solve_ba(
         conv = jnp.where(regate_now, 0, conv)
         # the Huber flag flips at the boundary, so the carried cost is
         # re-evaluated under the new (mask, kernel) for a fair acceptance
-        # comparison
-        cost_rg, _, _ = cost_eval(kf_cur, mp_cur, active, use_huber)
-        cost = jnp.where(regate_now, cost_rg, cost)
+        # comparison.  Guarded by lax.cond: the boundary fires on 1-2 of
+        # ~13 iterations and the residual pass is the loop's unit of cost —
+        # evaluating it unconditionally wasted one pass per iteration.
+        cost = jax.lax.cond(
+            regate_now,
+            lambda: cost_eval(kf_cur, mp_cur, active, use_huber)[0],
+            lambda: cost)
 
         lin = linearize(kf_cur, mp_cur, active, use_huber)
         dxc, dp = solve_step(lin, lam)

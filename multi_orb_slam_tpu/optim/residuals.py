@@ -15,16 +15,23 @@ from ..geometry import se3
 
 
 def reproj_residual(
-    Tcw: jnp.ndarray,      # [N, 4, 4] rig pose per observation
-    Xw: jnp.ndarray,       # [N, 3] world point per observation
-    T_rc: jnp.ndarray,     # [N, 4, 4] rig->camera extrinsic per observation
-    K: jnp.ndarray,        # [N, 4] per-observation intrinsics
-    bf: jnp.ndarray,       # [] or [N]
-    uvr: jnp.ndarray,      # [N, 3] measured (u, v, ur); ur<0 => mono
+    Tcw: jnp.ndarray,      # [..., 4, 4] rig pose per observation
+    Xw: jnp.ndarray,       # [..., 3] world point per observation
+    T_rc: jnp.ndarray,     # [..., 4, 4] rig->camera extrinsic per observation
+    K: jnp.ndarray,        # [..., 4] per-observation intrinsics
+    bf: jnp.ndarray,       # [] or broadcastable
+    uvr: jnp.ndarray,      # [..., 3] measured (u, v, ur); ur<0 => mono
     want_jac: bool = True,
 ):
-    """Returns (e [N,3], J_pose [N,3,6], J_point [N,3,3], is_stereo [N],
-    pos_depth [N]).
+    """Returns (e [...,3], J_pose [...,3,6], J_point [...,3,3],
+    is_stereo [...], pos_depth [...]).
+
+    Batch dims broadcast: a structured caller (local/global BA, [L, C, F]
+    observation layout) passes Tcw as [L, 1, 1, 4, 4] and T_rc/K as
+    [1, C, 1, ...] so XLA broadcasts the row-constant pose/extrinsics —
+    replacing three [N]-wide gathers per residual pass (Tcw[obs_kf],
+    T_rc[obs_cam], K[obs_cam]), each of which pays this backend's gather
+    latency floor regardless of payload.
 
     e rows for mono observations must be masked with row weights
     [1, 1, 0] by the caller.  J_pose is wrt a left-multiplied se3 tangent on
@@ -32,15 +39,16 @@ def reproj_residual(
     """
     R = Tcw[..., :3, :3]
     t = Tcw[..., :3, 3]
-    Xr = jnp.einsum("nij,nj->ni", R, Xw) + t
+    Xr = jnp.einsum("...ij,...j->...i", R, Xw) + t
     Rm = T_rc[..., :3, :3]
     tm = T_rc[..., :3, 3]
-    Xc = jnp.einsum("nij,nj->ni", Rm, Xr) + tm
-    fx, fy = K[:, 0], K[:, 1]
-    cx, cy = K[:, 2], K[:, 3]
-    bfo = jnp.broadcast_to(bf, fx.shape)
+    Xc = jnp.einsum("...ij,...j->...i", Rm, Xr) + tm
+    fx, fy = K[..., 0], K[..., 1]
+    cx, cy = K[..., 2], K[..., 3]
 
-    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    bfo = jnp.broadcast_to(bf, jnp.broadcast_shapes(
+        jnp.shape(bf), fx.shape, x.shape))
     pos_depth = z > 1e-3
     zs = jnp.where(pos_depth, z, 1.0)
     invz = 1.0 / zs
@@ -49,31 +57,31 @@ def reproj_residual(
     v = fy * y * invz + cy
     ur = u - bfo * invz
     pred = jnp.stack([u, v, ur], axis=-1)
-    is_stereo = uvr[:, 2] >= 0
-    target = jnp.where(is_stereo[:, None], uvr,
-                       jnp.concatenate([uvr[:, :2], ur[:, None]], axis=-1))
+    is_stereo = uvr[..., 2] >= 0
+    target = jnp.where(is_stereo[..., None], uvr,
+                       jnp.concatenate([uvr[..., :2], ur[..., None]],
+                                       axis=-1))
     e = target - pred
     if not want_jac:
         return e, None, None, is_stereo, pos_depth
 
-    zero = jnp.zeros_like(fx)
     # A = dproj/dXc is sparse (row 2 = row 0 + bf*invz2 * e3), so ARm and
     # the downstream products expand into pure broadcast arithmetic — the
     # batched-tiny-matmul einsums this replaces lower poorly on TPU
     # (padded MXU tiles), ~2x the whole residual pass.
-    r0 = (fx * invz)[:, None] * Rm[:, 0, :] \
-        - (fx * x * invz2)[:, None] * Rm[:, 2, :]
-    r1 = (fy * invz)[:, None] * Rm[:, 1, :] \
-        - (fy * y * invz2)[:, None] * Rm[:, 2, :]
-    r2 = r0 + (bfo * invz2)[:, None] * Rm[:, 2, :]
-    ARm = jnp.stack([r0, r1, r2], axis=-2)          # [N, 3, 3]
+    r0 = (fx * invz)[..., None] * Rm[..., 0, :] \
+        - (fx * x * invz2)[..., None] * Rm[..., 2, :]
+    r1 = (fy * invz)[..., None] * Rm[..., 1, :] \
+        - (fy * y * invz2)[..., None] * Rm[..., 2, :]
+    r2 = r0 + (bfo * invz2)[..., None] * Rm[..., 2, :]
+    ARm = jnp.stack([r0, r1, r2], axis=-2)          # [..., 3, 3]
     # ARm @ hat(Xr): M @ hat(v) columns are cross-structured combinations
-    vx, vy, vz = Xr[:, 0, None], Xr[:, 1, None], Xr[:, 2, None]
-    c0 = vz * ARm[:, :, 1] - vy * ARm[:, :, 2]
-    c1 = -vz * ARm[:, :, 0] + vx * ARm[:, :, 2]
-    c2 = vy * ARm[:, :, 0] - vx * ARm[:, :, 1]
-    ARm_hat = jnp.stack([c0, c1, c2], axis=-1)      # [N, 3, 3]
-    J_pose = jnp.concatenate([-ARm, ARm_hat], axis=-1)  # [N, 3, 6]
+    vx, vy, vz = Xr[..., 0, None], Xr[..., 1, None], Xr[..., 2, None]
+    c0 = vz * ARm[..., :, 1] - vy * ARm[..., :, 2]
+    c1 = -vz * ARm[..., :, 0] + vx * ARm[..., :, 2]
+    c2 = vy * ARm[..., :, 0] - vx * ARm[..., :, 1]
+    ARm_hat = jnp.stack([c0, c1, c2], axis=-1)      # [..., 3, 3]
+    J_pose = jnp.concatenate([-ARm, ARm_hat], axis=-1)  # [..., 3, 6]
     # ARm @ R as three broadcast row combinations
     J_point = -(ARm[..., :, 0, None] * R[..., None, 0, :]
                 + ARm[..., :, 1, None] * R[..., None, 1, :]

@@ -22,7 +22,7 @@ import numpy as np
 
 from .config import SlamConfig
 from .frontend import tracking
-from .geometry import camera as cam_mod
+from .geometry import camera as cam_mod, se3
 from .io import config_io, tum
 from .mapping import local_mapping, map_state as ms
 from .ops import orb
@@ -112,8 +112,22 @@ class System:
             self._covis_pending = local_mapping.covis_kf_count(
                 m, jnp.asarray(kf_slot, jnp.int32))
         if self.loop_closer is not None:
+            n_loops_before = self.loop_closer.n_loops_closed
+            pose_mid = m.kf_Tcw[kf_slot]
             with self.metrics.span("loop_stage"):
                 m = self.loop_closer.process_keyframe(m, kf_slot)
+            if self.loop_closer.n_loops_closed > n_loops_before:
+                # a loop correction JUMPED the newest keyframe; the live
+                # tracking pose rigidly attached to it must follow or the
+                # next frame searches the corrected map from the
+                # uncorrected pose and drops to LOST (observed on the
+                # circuit at the loop-closure frame).  Local-BA nudges are
+                # deliberately NOT propagated: the tracker re-anchors to
+                # the optimized map through matching every frame (as the
+                # reference's does), and per-KF micro-jumps measurably
+                # destabilize tracking on degraded-scale input.
+                self.tracker.queue_pose_correction(
+                    se3.inverse(pose_mid) @ m.kf_Tcw[kf_slot])
         self.metrics.count("keyframes_inserted")
         return m
 
@@ -200,6 +214,7 @@ class System:
         if self.loop_closer is not None:
             self.tracker.map = self.loop_closer.merge_pending_gba(
                 self.tracker.map)
+            self.tracker.invalidate_local_cache()
 
     def get_tracking_state(self) -> int:
         return self.tracker.state
@@ -294,6 +309,7 @@ class System:
             payload = pickle.load(f)
         arrays = {k: jnp.asarray(v) for k, v in payload["map"].items()}
         self.tracker.map = ms.MapState(**arrays)
+        self.tracker.invalidate_local_cache()
         self.tracker.trajectory = payload["trajectory"]
         self.tracker.frame_id = payload["frame_id"]
         self.tracker.last_kf_slot = payload["last_kf_slot"]

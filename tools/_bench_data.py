@@ -1,8 +1,10 @@
 """Shared benchmark-frame loading for the profiling tools.
 
 The profiling tools and bench.py share one synthetic dual-camera sequence.
-bench.py caches it at /tmp/bench_frames_v2.npz; this helper regenerates the
-cache when absent (ADVICE round-2: tools must not crash on a fresh machine).
+bench.py caches its scenes at /tmp/bench_frames_v3_{scene}.npz; this helper
+regenerates the orbit scene when absent (ADVICE round-2: tools must not
+crash on a fresh machine).  Round 5: the rig is the reference's REAL ~90
+deg dual-camera geometry (OtherFiles/calibration.txt:1-4).
 """
 import os
 import sys
@@ -11,7 +13,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-FRAME_CACHE = "/tmp/bench_frames_v2.npz"
+FRAME_CACHE = "/tmp/bench_frames_v3_orbit.npz"
 
 
 def load_bench_frames(n_frames=60, path=None):
@@ -29,9 +31,9 @@ def load_bench_frames(n_frames=60, path=None):
     from multi_orb_slam_tpu.io import synthetic
 
     K = np.asarray([520.9, 521.0, 320.0, 240.0], np.float32)
-    Ry = se3.so3_exp(jnp.asarray([0.0, 0.5, 0.0]))
+    Ry = se3.so3_exp(jnp.asarray([0.0, np.pi / 2, 0.0]))
     T_rc1 = (jnp.eye(4).at[:3, :3].set(Ry)
-             .at[:3, 3].set(jnp.asarray([0.16, 0.004, -0.07])))
+             .at[:3, 3].set(jnp.asarray([0.161, 0.004, -0.071])))
     T_rc = np.asarray(jnp.stack([jnp.eye(4), T_rc1]))
     seq = synthetic.make_sequence(
         n_frames=n_frames, K=K, T_rc=T_rc, height=480, width=640,

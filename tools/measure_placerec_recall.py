@@ -24,6 +24,11 @@ covisibility + age exclusion, group accumulation) and scores:
 Run: [JAX_PLATFORMS=cpu] python tools/measure_placerec_recall.py \
         [corridor_frames] [circuit_frames]
 
+Measures BOTH detection configurations per scene (VERDICT round-4 item 3):
+the consistency-earned score slack (loop_closing.MAX_RELAX_STREAK > 0,
+0.75x minScore for chain-connected candidates) ON and OFF, quantifying the
+slack's recall/precision delta.
+
 History: round-2 recall on moving disconnected revisits was ~0 (scores sat
 under the minScore gate); the round-3 measured-floor forwarding raised it
 to 0.667 on 3 corridor queries; round 4 adds the circuit scene and the
@@ -121,7 +126,7 @@ def make_circuit_sequence(nf):
     return frames, poses
 
 
-def run_scene(name, frames, poses, radius=1.0):
+def run_scene(name, frames, poses, radius=1.0, slack=True):
     nf = len(frames)
     cfg = SlamConfig(n_cams=1, max_feat=512, width=W, height=H,
                      max_frames_kf=30, th_depth=4.0, local_cap=1024,
@@ -142,6 +147,8 @@ def run_scene(name, frames, poses, radius=1.0):
     calib = cam_mod.CameraParams(
         K=jnp.asarray(K)[None], dist=jnp.zeros((1, 5)),
         T_rc=jnp.eye(4)[None], bf=jnp.asarray(20.0), width=W, height=H)
+    from multi_orb_slam_tpu.loop import loop_closing as lc_mod
+    lc_mod.MAX_RELAX_STREAK = 3 if slack else 0
     slam = system_mod.System(calib=calib, cfg=cfg,
                              sensor=system_mod.Sensor.RGBD,
                              enable_loop_closing=True)
@@ -210,32 +217,35 @@ def main():
     nf_corr = int(sys.argv[1]) if len(sys.argv) > 1 else 520
     nf_circ = int(sys.argv[2]) if len(sys.argv) > 2 else 420
     t0 = time.time()
-    scenes = {}
-    frames, poses = make_sequence(nf_corr)
+    corr = make_sequence(nf_corr)
     print(f"rendered corridor {nf_corr} frames in {time.time()-t0:.0f}s",
           flush=True)
-    scenes["corridor"] = run_scene("corridor", frames, poses)
     t0 = time.time()
-    frames, poses = make_circuit_sequence(nf_circ)
+    circ = make_circuit_sequence(nf_circ)
     print(f"rendered circuit {nf_circ} frames in {time.time()-t0:.0f}s",
           flush=True)
-    scenes["circuit"] = run_scene("circuit", frames, poses)
-
-    n_rev = sum(s["revisit_queries"] for s in scenes.values())
-    n_hit = sum(s["detected"] for s in scenes.values())
-    n_cand = sum(s["candidates"] for s in scenes.values())
-    n_ok = sum(s["correct_candidates"] for s in scenes.values())
-    recall = n_hit / max(n_rev, 1)
-    precision = n_ok / max(n_cand, 1)
+    out = {}
+    for slack in (True, False):
+        tag = "slack_on" if slack else "slack_off"
+        scenes = {}
+        scenes["corridor"] = run_scene(
+            f"corridor/{tag}", corr[0], corr[1], slack=slack)
+        scenes["circuit"] = run_scene(
+            f"circuit/{tag}", circ[0], circ[1], slack=slack)
+        n_rev = sum(s["revisit_queries"] for s in scenes.values())
+        n_hit = sum(s["detected"] for s in scenes.values())
+        n_cand = sum(s["candidates"] for s in scenes.values())
+        n_ok = sum(s["correct_candidates"] for s in scenes.values())
+        out[tag] = {
+            "scenes": scenes,
+            "revisit_queries": int(n_rev), "detected": int(n_hit),
+            "recall": round(n_hit / max(n_rev, 1), 3),
+            "candidates": int(n_cand), "correct_candidates": int(n_ok),
+            "precision": round(n_ok / max(n_cand, 1), 3),
+        }
     import json
     print(json.dumps({
-        "metric": "placerec_moving_revisit_multiscene",
-        "scenes": scenes,
-        "revisit_queries": int(n_rev), "detected": int(n_hit),
-        "recall": round(float(recall), 3),
-        "candidates": int(n_cand), "correct_candidates": int(n_ok),
-        "precision": round(float(precision), 3),
-    }))
+        "metric": "placerec_moving_revisit_multiscene", **out}))
 
 
 if __name__ == "__main__":

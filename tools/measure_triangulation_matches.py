@@ -49,9 +49,9 @@ def gt_world(xy, depth_img, K, T_cw):
 
 def main():
     K1 = np.asarray([520.9, 521.0, 320.0, 240.0], np.float32)
-    Ry = se3.so3_exp(jnp.asarray([0.0, 0.5, 0.0]))
+    Ry = se3.so3_exp(jnp.asarray([0.0, np.pi / 2, 0.0]))
     T_rc1 = (jnp.eye(4).at[:3, :3].set(Ry)
-             .at[:3, 3].set(jnp.asarray([0.16, 0.004, -0.07])))
+             .at[:3, 3].set(jnp.asarray([0.161, 0.004, -0.071])))
     T_rc = jnp.stack([jnp.eye(4), T_rc1])
     seq = syn.make_sequence(n_frames=N_FRAMES, K=K1, T_rc=np.asarray(T_rc),
                             height=H, width=W, n_points=4000)

@@ -88,9 +88,9 @@ def amortized(name, step, init, reps=8):
 
 
 K = jnp.tile(jnp.asarray([[520.9, 521.0, 320.0, 240.0]]), (C, 1))
-Ry = se3.so3_exp(jnp.asarray([0.0, 0.5, 0.0]))
+Ry = se3.so3_exp(jnp.asarray([0.0, np.pi / 2, 0.0]))
 T_rc1 = (jnp.eye(4).at[:3, :3].set(Ry)
-         .at[:3, 3].set(jnp.asarray([0.16, 0.004, -0.07])))
+         .at[:3, 3].set(jnp.asarray([0.161, 0.004, -0.071])))
 T_rc = jnp.stack([jnp.eye(4), T_rc1])
 bf = jnp.asarray(40.0)
 

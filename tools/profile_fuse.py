@@ -16,8 +16,8 @@ from multi_orb_slam_tpu.ops import orb, search, hamming
 H, W, C = 480, 640, 2
 cfg = SlamConfig(n_cams=C, width=W, height=H, orb=orb.ORBConfig(n_features=1024))
 K = jnp.tile(jnp.asarray([[520.9, 521.0, 320.0, 240.0]]), (C, 1))
-Ry = se3.so3_exp(jnp.asarray([0.0, 0.5, 0.0]))
-T_rc1 = jnp.eye(4).at[:3, :3].set(Ry).at[:3, 3].set(jnp.asarray([0.16, 0.004, -0.07]))
+Ry = se3.so3_exp(jnp.asarray([0.0, np.pi / 2, 0.0]))
+T_rc1 = jnp.eye(4).at[:3, :3].set(Ry).at[:3, 3].set(jnp.asarray([0.161, 0.004, -0.071]))
 T_rc = jnp.stack([jnp.eye(4), T_rc1])
 calib = cam_mod.CameraParams(K=K, dist=jnp.zeros((C, 5)), T_rc=T_rc,
                              bf=jnp.asarray(40.0), width=W, height=H)

@@ -43,9 +43,9 @@ def main():
     cfg = SlamConfig(n_cams=C, width=W, height=H,
                      orb=orb.ORBConfig(n_features=1024))
     K = jnp.tile(jnp.asarray([[520.9, 521.0, 320.0, 240.0]]), (C, 1))
-    Ry = se3.so3_exp(jnp.asarray([0.0, 0.5, 0.0]))
+    Ry = se3.so3_exp(jnp.asarray([0.0, np.pi / 2, 0.0]))
     T_rc1 = jnp.eye(4).at[:3, :3].set(Ry).at[:3, 3].set(
-        jnp.asarray([0.16, 0.004, -0.07]))
+        jnp.asarray([0.161, 0.004, -0.071]))
     T_rc = jnp.stack([jnp.eye(4), T_rc1])
     calib = cam_mod.CameraParams(K=K, dist=jnp.zeros((C, 5)), T_rc=T_rc,
                                  bf=jnp.asarray(40.0), width=W, height=H)
@@ -83,18 +83,20 @@ def main():
     timeit(lambda: tracking.track_motion_model(
         st, prev, prev_Tcw, prev_mp, vel, fr, calib, cfg), (), reps,
         "track_motion_model")
+    lpts = tracking.build_local_points_cache(
+        st, jnp.asarray(tracker.last_kf_slot, jnp.int32), cfg)
     timeit(lambda: tracking.track_local_map(
-        st, prev_Tcw, fr, prev_mp, calib, cfg), (), reps,
+        st, prev_Tcw, fr, prev_mp, lpts, calib, cfg), (), reps,
         "track_local_map")
     timeit(lambda: tracking.insert_keyframe_jit(
         st, fr, prev_Tcw, prev_mp, calib, cfg,
         jnp.asarray(99, jnp.int32)), (), reps, "insert_keyframe")
     tstate = jnp.asarray([0, 100, 0], jnp.int32)
     timeit(lambda: tracking.track_frame_fused(
-        st, prev, prev_Tcw, prev_mp, vel, tstate, fr, calib, cfg,
+        st, prev, prev_Tcw, prev_mp, vel, tstate, lpts, fr, calib, cfg,
         jnp.asarray(99, jnp.int32)), (), reps, "track_frame_fused")
     timeit(lambda: tracking.track_frame_fused_images(
-        st, prev, prev_Tcw, prev_mp, vel, tstate, g, d, calib, cfg,
+        st, prev, prev_Tcw, prev_mp, vel, tstate, lpts, g, d, calib, cfg,
         jnp.asarray(99, jnp.int32)), (), reps, "track_frame_fused_images")
 
     # sub-stages of extraction

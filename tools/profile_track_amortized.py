@@ -21,8 +21,8 @@ from multi_orb_slam_tpu.optim import pose_opt
 H, W, C = 480, 640, 2
 cfg = SlamConfig(n_cams=C, width=W, height=H, orb=orb.ORBConfig(n_features=1024))
 K = jnp.tile(jnp.asarray([[520.9, 521.0, 320.0, 240.0]]), (C, 1))
-Ry = se3.so3_exp(jnp.asarray([0.0, 0.5, 0.0]))
-T_rc1 = jnp.eye(4).at[:3, :3].set(Ry).at[:3, 3].set(jnp.asarray([0.16, 0.004, -0.07]))
+Ry = se3.so3_exp(jnp.asarray([0.0, np.pi / 2, 0.0]))
+T_rc1 = jnp.eye(4).at[:3, :3].set(Ry).at[:3, 3].set(jnp.asarray([0.161, 0.004, -0.071]))
 T_rc = jnp.stack([jnp.eye(4), T_rc1])
 calib = cam_mod.CameraParams(K=K, dist=jnp.zeros((C, 5)), T_rc=T_rc,
                              bf=jnp.asarray(40.0), width=W, height=H)
@@ -45,6 +45,8 @@ prev_Tcw = tr.prev_Tcw
 vel = tr.velocity
 tstate = jnp.asarray([tr.last_kf_frame, tr.ref_kf_tracked, 0], jnp.int32)
 fid = jnp.asarray(tr.frame_id, jnp.int32)
+lpts = tracking.build_local_points_cache(
+    st, jnp.asarray(tr.last_kf_slot, jnp.int32), cfg)
 
 
 def force(x):
@@ -86,7 +88,8 @@ amortized("extract_orb (1 cam)", ex_step, (g, jnp.zeros(())))
 # --- full fused tracking step (state-preserving: feed output state back) ---
 def fused_step(s):
     s2, Tcw, fmp, vel2, ts2, scal, _rs, _rp, _rf = tracking.track_frame_fused(
-        s, prev, prev_Tcw, prev_mp, vel, tstate, fr, calib, cfg, fid)
+        s, prev, prev_Tcw, prev_mp, vel, tstate, lpts, fr, calib, cfg,
+        fid)
     return s2
 
 amortized("track_frame_fused", fused_step, st, reps=8)
@@ -105,7 +108,7 @@ amortized("track_motion_model (search+poseopt)", mm_step, (st, prev_Tcw))
 def lm_step(c):
     s, T = c
     s2, Tcw, fmp, ni, nct, ncu = tracking.track_local_map(
-        s, T, fr, prev_mp, calib, cfg)
+        s, T, fr, prev_mp, lpts, calib, cfg)
     return (s2, T + 1e-30 * Tcw)
 
 amortized("track_local_map (gather+search+poseopt)", lm_step, (st, prev_Tcw))

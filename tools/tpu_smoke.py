@@ -121,9 +121,9 @@ def main():
         cfg = SlamConfig(n_cams=C, width=W, height=H,
                          orb=orb.ORBConfig(n_features=1024))
         K = jnp.tile(jnp.asarray([[520.9, 521.0, 320.0, 240.0]]), (C, 1))
-        Ry = se3.so3_exp(jnp.asarray([0.0, 0.5, 0.0]))
+        Ry = se3.so3_exp(jnp.asarray([0.0, np.pi / 2, 0.0]))
         T_rc1 = (jnp.eye(4).at[:3, :3].set(Ry)
-                 .at[:3, 3].set(jnp.asarray([0.16, 0.004, -0.07])))
+                 .at[:3, 3].set(jnp.asarray([0.161, 0.004, -0.071])))
         calib = cam_mod.CameraParams(
             K=K, dist=jnp.zeros((C, 5)), T_rc=jnp.stack([jnp.eye(4), T_rc1]),
             bf=jnp.asarray(40.0), width=W, height=H)
@@ -142,11 +142,13 @@ def main():
         snap = (tr.map, tr.prev_frame, tr.prev_Tcw, tr.prev_mp, tr.velocity,
                 tstate)
         fid = jnp.asarray(tr.frame_id, jnp.int32)
+        lpts = tracking.build_local_points_cache(
+            tr.map, jnp.asarray(tr.last_kf_slot, jnp.int32), cfg)
 
         def one_step():
             out = tracking.track_frame_fused_images(
                 snap[0], snap[1], snap[2], snap[3], snap[4], snap[5],
-                g14, d14, calib, cfg, fid)
+                lpts, g14, d14, calib, cfg, fid)
             return out[2]  # Tcw
         wm_track = warm_ms(one_step, reps=6)
 
