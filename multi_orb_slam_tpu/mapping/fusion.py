@@ -10,6 +10,17 @@ where it lands on a free feature, add the observation.
 All cameras are searched at once (the reference projects into both cameras
 sequentially, ORBmatcher.cc:2030-2158).
 
+Rotation-histogram note: the reference's `Fuse` applies NO rotation
+histogram — `grep rotHist` over src/ORBmatcher.cc:1986-2191 is empty
+(verified; the histogram lives in the keypoint-to-keypoint matchers,
+e.g. SearchByBoW :223-381 and frame-projection :3448-3641, where both
+sides carry an IC angle).  A fuse query is a 3D landmark with no
+orientation, so there is no angle delta to histogram; the reference's
+actual orientation defense here is the 60-degree viewing-angle gate
+(ORBmatcher.cc:2073 "Viewing angle must be less than 60 deg"), which this
+module applies identically through `use_view_cos=True` in
+search_points_in_frame (frustum_check view_cos_limit=0.5).
+
 Deferred-merge design (the TPU cost shape): a fuse group (e.g. the 5+1
 targets of SearchInNeighbors) accumulates loser->winner redirections in ONE
 [M] replacement table; each step rewrites only its target keyframe row and
