@@ -97,12 +97,22 @@ def main():
     step = dist_ba.make_dist_ba_step(mesh, n_outer=args.outer, cg_iters=40)
     T_rc = jnp.asarray(np.eye(4, dtype=np.float32)[None])
 
+    def force(x):
+        # block_until_ready returns before the queue drains on the axon
+        # remote backend (NOTES_ROUND2 gotcha #1): force via reduction
+        tot = 0.0
+        for leaf in jax.tree_util.tree_leaves(x):
+            tot += float(jnp.sum(jnp.asarray(leaf).astype(jnp.float32)))
+        return tot
+
     out = step(flat, T_rc, jnp.asarray(Kintr), jnp.asarray(bf))
-    jax.block_until_ready(out)
+    force(out)
+    reps = 3
     t0 = time.perf_counter()
-    out = step(flat, T_rc, jnp.asarray(Kintr), jnp.asarray(bf))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        out = step(flat, T_rc, jnp.asarray(Kintr), jnp.asarray(bf))
+        force(out)
+    dt = (time.perf_counter() - t0) / reps
     costs = np.asarray(out[2])
     print(json.dumps({
         "metric": "dist_gba_s_per_outer_iter",

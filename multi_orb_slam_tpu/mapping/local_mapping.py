@@ -300,8 +300,8 @@ _BA_WINDOW_BUCKETS = (12, 16, 24, 32)
 _BA_BUCKET_PHASES = {
     12: ((5, True), (8, False)),
     16: ((4, True), (6, False)),
-    24: ((3, True), (5, False)),
-    32: ((3, True), (4, False)),
+    24: ((2, True), (4, False)),
+    32: ((2, True), (3, False)),
 }
 
 
