@@ -90,6 +90,7 @@ def run_scene(name, grays, depths, calib, cfg):
 
     n_frames = grays.shape[0]
     tracker = tracking.Tracker(calib, cfg, pipelined=True, pipeline_depth=3)
+    tracker.fuse_extraction = True
     n_kf_mapped = [0]
     covis_pending = [None]
 

@@ -17,6 +17,7 @@ here it is a deterministic stage invoked after keyframe insertion
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -262,6 +263,10 @@ def run_mapping_stage(
                 break
         phases = _BA_BUCKET_PHASES[nf]
         n_free = n_fixed = min(nf, cfg.max_kf // 2)
+        if os.environ.get("MOS_MAPPING_DEBUG"):
+            import sys as _sys
+            print(f"[mapping] covis={n_cov} bucket={nf}",
+                  file=_sys.stderr, flush=True)
     if do_triangulate and do_fuse and do_ba and do_cull:
         return _mapping_stage_fused(
             state, jnp.asarray(kf_slot, jnp.int32),

@@ -98,7 +98,8 @@ class TestOdometry:
 
     def test_pipelined_parity(self):
         # the fused zero-sync step must produce the same map/trajectory as
-        # the stepwise path
+        # the stepwise path; the single-dispatch variant with extraction
+        # folded in (fuse_extraction — the bench's hot path) must agree too
         cfg = small_cfg()._replace(max_frames_kf=5)
         calib = small_calib()
         seq = synthetic.make_sequence(
@@ -106,14 +107,16 @@ class TestOdometry:
             n_points=2500,
         )
         outs = []
-        for pipe in (False, True):
+        for pipe, fuse in ((False, False), (True, False), (True, True)):
             tracker = tracking.Tracker(calib, cfg, pipelined=pipe)
+            tracker.fuse_extraction = fuse
             for grays, depths in zip(seq.grays, seq.depths):
-                tracker.process(grays, depths)
+                tracker.process(jnp.asarray(grays), jnp.asarray(depths))
             est = np.stack([T for _, _, T, _ in tracker.absolute_trajectory()])
             outs.append((est, int(tracker.map.n_kf), int(tracker.map.n_mp)))
-        np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
-        assert outs[0][1:] == outs[1][1:]
+        for other in outs[1:]:
+            np.testing.assert_allclose(outs[0][0], other[0], atol=1e-5)
+            assert outs[0][1:] == other[1:]
 
     def test_keyframes_inserted(self):
         cfg = small_cfg()._replace(max_frames_kf=5)
