@@ -49,8 +49,6 @@ def make_global_ba(cfg: SlamConfig):
 
         obs_kf = jnp.broadcast_to(
             jnp.arange(K, dtype=jnp.int32)[:, None, None], (K, C, F)).reshape(N)
-        obs_cam = jnp.broadcast_to(
-            jnp.arange(C, dtype=jnp.int32)[None, :, None], (K, C, F)).reshape(N)
         obs_mp = kf_mp.reshape(N)
         uvr = obs_uvr.reshape(N, 3)
         is2 = obs_is2.reshape(N)

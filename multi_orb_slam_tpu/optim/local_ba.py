@@ -84,9 +84,6 @@ def solve_ba(
     obs_kf = jnp.broadcast_to(
         jnp.arange(L, dtype=jnp.int32)[:, None, None], (L, C, F)
     ).reshape(N)
-    obs_cam = jnp.broadcast_to(
-        jnp.arange(C, dtype=jnp.int32)[None, :, None], (L, C, F)
-    ).reshape(N)
     obs_mp = prob.obs_mp.reshape(N)
     obs_uvr = prob.obs_uvr.reshape(N, 3)
     obs_is2 = prob.obs_inv_sigma2.reshape(N)
