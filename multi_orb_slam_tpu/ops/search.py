@@ -46,6 +46,27 @@ class LocalPoints(NamedTuple):
                                     # without touching the [M] arrays
 
 
+def _gather_point_records(state: ms.MapState, g: jnp.ndarray):
+    """Gather (pos, desc, normal, min_dist, max_dist) for point slots `g`.
+
+    The five per-point columns are packed into ONE [M, 16] f32 record
+    (uint32 descriptors bitcast to f32 ride along losslessly) so the
+    batch costs a single gather: each separate gather pays this backend's
+    fixed dispatch/latency floor regardless of payload, and this runs
+    2-3x per mapping stage plus once per keyframe on the tracker side.
+    """
+    rec = jnp.concatenate([
+        state.mp_pos,
+        state.mp_normal,
+        state.mp_min_dist[:, None],
+        state.mp_max_dist[:, None],
+        jax.lax.bitcast_convert_type(state.mp_desc, jnp.float32),
+    ], axis=-1)                                 # [M, 16]
+    got = rec[g]
+    return (got[:, 0:3], got[:, 3:6], got[:, 6], got[:, 7],
+            jax.lax.bitcast_convert_type(got[:, 8:16], jnp.uint32))
+
+
 def gather_local_points(
     state: ms.MapState, mask: jnp.ndarray, cap: int,
     priority: jnp.ndarray | None = None,
@@ -67,33 +88,21 @@ def gather_local_points(
         kv, order = jax.lax.top_k(key, cap)
         sel_valid = mask[order]
         idx = jnp.where(sel_valid, order, -1)
-        g = jnp.clip(order, 0, None)
-        return LocalPoints(
-            idx=idx,
-            pos=state.mp_pos[g],
-            desc=state.mp_desc[g],
-            normal=state.mp_normal[g],
-            min_dist=state.mp_min_dist[g],
-            max_dist=state.mp_max_dist[g],
-            valid=sel_valid,
-            rel=jnp.where(sel_valid, kv, -jnp.inf),
-        )
-    score = mask.astype(jnp.int32)
-    # stable selection of masked points: rank by (mask, index)
-    _, order = jax.lax.top_k(score * (1 << 20) - jnp.arange(score.shape[0]), cap)
-    sel_valid = mask[order]
-    idx = jnp.where(sel_valid, order, -1)
+        rel = jnp.where(sel_valid, kv, -jnp.inf)
+    else:
+        score = mask.astype(jnp.int32)
+        # stable selection of masked points: rank by (mask, index)
+        _, order = jax.lax.top_k(
+            score * (1 << 20) - jnp.arange(score.shape[0]), cap)
+        sel_valid = mask[order]
+        idx = jnp.where(sel_valid, order, -1)
+        rel = jnp.where(sel_valid,
+                        -jnp.arange(cap, dtype=jnp.float32), -jnp.inf)
     g = jnp.clip(order, 0, None)
+    pos, normal, min_d, max_d, desc = _gather_point_records(state, g)
     return LocalPoints(
-        idx=idx,
-        pos=state.mp_pos[g],
-        desc=state.mp_desc[g],
-        normal=state.mp_normal[g],
-        min_dist=state.mp_min_dist[g],
-        max_dist=state.mp_max_dist[g],
-        valid=sel_valid,
-        rel=jnp.where(sel_valid,
-                      -jnp.arange(cap, dtype=jnp.float32), -jnp.inf),
+        idx=idx, pos=pos, desc=desc, normal=normal,
+        min_dist=min_d, max_dist=max_d, valid=sel_valid, rel=rel,
     )
 
 

@@ -90,16 +90,19 @@ def make_global_ba(cfg: SlamConfig):
             JTcW = Jc_eff * Wr[:, :, None]
             JTpW = Jp * Wr[:, :, None]
 
+            # block products via residuals.outer_rows/jte_rows (unrolled
+            # broadcast arithmetic; the einsum forms lower as N batched
+            # MXU-padded tiny matmuls — see residuals.bmv)
             Hcc = jnp.zeros((K, 6, 6), dtype).at[obs_kf].add(
-                jnp.einsum("nri,nrj->nij", JTcW, Jc_eff))
+                residuals.outer_rows(JTcW, Jc_eff))
             bc = jnp.zeros((K, 6), dtype).at[obs_kf].add(
-                jnp.einsum("nri,nr->ni", JTcW, e))
+                residuals.jte_rows(JTcW, e))
             Hpp = jnp.zeros((M, 3, 3), dtype).at[mp_idx].add(
-                jnp.einsum("nri,nrj->nij", JTpW, Jp))
+                residuals.outer_rows(JTpW, Jp))
             bp = jnp.zeros((M, 3), dtype).at[mp_idx].add(
-                jnp.einsum("nri,nr->ni", JTpW, e))
+                residuals.jte_rows(JTpW, e))
             # per-observation camera-point coupling block U_n [6, 3]
-            U = jnp.einsum("nri,nrj->nij", JTcW, Jp)
+            U = residuals.outer_rows(JTcW, Jp)
 
             Hcc_d = _damp_blocks(Hcc, lam)
             Hpp_d = _damp_blocks(Hpp, lam) + jnp.where(
@@ -108,19 +111,19 @@ def make_global_ba(cfg: SlamConfig):
 
             def S_matvec(x):  # x [K, 6]
                 # y_p = sum_obs U^T x_kf  -> [M, 3]
-                Ux = jnp.einsum("nij,ni->nj", U, x[obs_kf])
+                Ux = residuals.bmtv(U, x[obs_kf])
                 y = jnp.zeros((M, 3), dtype).at[mp_idx].add(Ux)
-                z = jnp.einsum("mij,mj->mi", Hpp_inv, y)
+                z = residuals.bmv(Hpp_inv, y)
                 # back: sum_obs U z_p -> [K, 6]
-                Uz = jnp.einsum("nij,nj->ni", U, z[mp_idx])
+                Uz = residuals.bmv(U, z[mp_idx])
                 WHWx = jnp.zeros((K, 6), dtype).at[obs_kf].add(Uz)
-                Hx = jnp.einsum("kij,kj->ki", Hcc_d, x)
+                Hx = residuals.bmv(Hcc_d, x)
                 out = Hx - WHWx
                 return out * kf_free[:, None]
 
             # rhs = bc - W Hpp_inv bp
-            zb = jnp.einsum("mij,mj->mi", Hpp_inv, bp)
-            Uzb = jnp.einsum("nij,nj->ni", U, zb[mp_idx])
+            zb = residuals.bmv(Hpp_inv, bp)
+            Uzb = residuals.bmv(U, zb[mp_idx])
             rhs = bc - jnp.zeros((K, 6), dtype).at[obs_kf].add(Uzb)
             rhs = rhs * kf_free[:, None]
 
@@ -130,7 +133,7 @@ def make_global_ba(cfg: SlamConfig):
                 * jnp.eye(6, dtype=dtype))
 
             def precond(v):
-                return jnp.einsum("kij,kj->ki", Pinv, v) * kf_free[:, None]
+                return residuals.bmv(Pinv, v) * kf_free[:, None]
 
             # PCG for S dx = -rhs
             b_cg = -rhs
@@ -156,9 +159,9 @@ def make_global_ba(cfg: SlamConfig):
             dxc = dxc * kf_free[:, None]
 
             # back-substitute points: dp = -Hpp_inv (bp + W^T dxc)
-            Ux = jnp.einsum("nij,ni->nj", U, dxc[obs_kf])
+            Ux = residuals.bmtv(U, dxc[obs_kf])
             WTdx = jnp.zeros((M, 3), dtype).at[mp_idx].add(Ux)
-            dp = -jnp.einsum("mij,mj->mi", Hpp_inv, bp + WTdx)
+            dp = -residuals.bmv(Hpp_inv, bp + WTdx)
             dp = dp * mp_valid[:, None]
 
             Tcw_new = jax.vmap(lambda d, T: se3.exp(d) @ T)(dxc, Tcw_all)

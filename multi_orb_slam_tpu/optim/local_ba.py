@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import se3
-from ..ops import pallas_kernels as _pk
 from . import residuals
 from .pose_opt import CHI2_MONO, CHI2_STEREO
 
@@ -78,68 +77,49 @@ def solve_ba(
     """
     L, C, F = prob.obs_mp.shape
     P = prob.mp_pos.shape[0]
-    N = L * C * F
     dtype = prob.mp_pos.dtype
-
-    obs_kf = jnp.broadcast_to(
-        jnp.arange(L, dtype=jnp.int32)[:, None, None], (L, C, F)
-    ).reshape(N)
-    obs_mp = prob.obs_mp.reshape(N)
-    obs_uvr = prob.obs_uvr.reshape(N, 3)
-    obs_is2 = prob.obs_inv_sigma2.reshape(N)
-    obs_valid = (
-        (obs_mp >= 0)
-        & prob.kf_valid[obs_kf]
-        & prob.mp_valid[jnp.clip(obs_mp, 0, P - 1)]
-    )
-    mp_idx = jnp.clip(obs_mp, 0, P - 1)
 
     delta_m = jnp.sqrt(CHI2_MONO)
     delta_s = jnp.sqrt(CHI2_STEREO)
 
-    # Inverse observation map: for each (KF, camera) row and point, the
-    # feature index observing it (-1 none).  The observation layout is
-    # constant through every LM iteration, so ONE scatter here turns every
-    # in-loop point-block accumulation (H_pp, b_p, W_cp) into pure GATHERS
-    # — TPU scatters at this size cost ~4-5 ms each regardless of sorting,
-    # and the round-1 formulation paid for three per iteration (~335
-    # ms/solve on a v5e; ~gathers are two orders cheaper).  Requires at
-    # most one observation of a point per (KF, camera) row — guaranteed by
-    # build_local_problem's dedupe pass, matching the reference's one-idx-
-    # per-KF observation map (src/MapPoint.cc:138-150).
-    LC = L * C
-    pidx_rows = jnp.where(obs_valid, obs_mp, P).reshape(LC, F)
-    _rows = jnp.arange(LC)[:, None]
-    inv_lc = jnp.full((LC, P + 1), -1, jnp.int32).at[
-        _rows, pidx_rows].set(
-        jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32), (LC, F)))[:, :P]
-    has_inv = inv_lc >= 0                       # [LC, P]
-    ginv = jnp.clip(inv_lc, 0, F - 1)
-
-    # NOTE: _pk import lives at module level: importing it lazily inside
-    # this (traced) function runs ops/orb.py's module-level jnp constants
-    # under the ambient trace, turning them into leaked tracers
-    inv_raw = jnp.where(has_inv, ginv, -1)
-
-    def point_sums(vals_n, trailing_shape):
-        """Sum observation values into per-point bins via the inverse map.
-
-        vals_n: [N, ...]; returns ([P, ...] summed over all rows,
-        [LC, P, ...] per-row gathered values, masked).  On TPU the gather
-        runs as a Pallas one-hot MXU contraction (the XLA gather pays a
-        ~3.5 ms latency floor at [48, 4096] regardless of payload)."""
-        d = int(np.prod(trailing_shape)) if trailing_shape else 1
-        if _pk.use_pallas() and d <= 32:
-            v = vals_n.reshape(LC, F, d)
-            summed, g = _pk.point_sums_pallas(v, inv_raw)
-            return (summed.reshape((P,) + trailing_shape),
-                    g.reshape((LC, P) + trailing_shape))
-        v = vals_n.reshape((LC, F) + trailing_shape)
-        g = jnp.take_along_axis(
-            v, ginv.reshape((LC, P) + (1,) * len(trailing_shape)), axis=1)
-        mask = has_inv.reshape((LC, P) + (1,) * len(trailing_shape))
-        g = g * mask
-        return jnp.sum(g, axis=0), g
+    # ---- One-time re-layout: feature-indexed [L, C, F] observations ->
+    # point-indexed [L, C, P] rows, making the LM inner loop GATHER-FREE.
+    # In the point-indexed layout the pose enters as an [L,1,1] broadcast,
+    # the rig extrinsic/intrinsics as [1,C,1], and the point position as a
+    # [1,1,P] broadcast — so a residual pass touches NO gather/scatter at
+    # all, and the point-block sums (H_pp, b_p) become plain axis
+    # reductions while W_cp falls out directly in its [P, L, 6, 3] Schur
+    # layout.  (Earlier designs paid three [N]-wide gathers per pass, then
+    # one point gather + one Pallas one-hot contraction; each gather costs
+    # a fixed ~0.5-3 ms latency floor on this backend regardless of
+    # payload — at ~2 residual passes per LM iteration that dominated the
+    # solve.)  Requires at most one observation of a point per (KF,
+    # camera) row — guaranteed by build_local_problem's dedupe pass,
+    # matching the reference's one-idx-per-KF observation map
+    # (src/MapPoint.cc:138-150).
+    obs_mp_f = prob.obs_mp                       # [L, C, F]
+    obs_ok_f = (
+        (obs_mp_f >= 0)
+        & prob.kf_valid[:, None, None]
+        & prob.mp_valid[jnp.clip(obs_mp_f, 0, P - 1)]
+    )
+    pidx = jnp.where(obs_ok_f, obs_mp_f, P)      # [L, C, F]
+    l_ix = jnp.arange(L)[:, None, None]
+    c_ix = jnp.arange(C)[None, :, None]
+    inv = jnp.full((L, C, P + 1), -1, jnp.int32).at[
+        l_ix, c_ix, pidx].set(
+        jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32), (L, C, F))
+    )[:, :, :P]
+    obs_valid = inv >= 0                         # [L, C, P]
+    ginv = jnp.clip(inv, 0, F - 1)[..., None]
+    uvr_g = jnp.take_along_axis(prob.obs_uvr, ginv, axis=2)   # [L, C, P, 3]
+    # missing slots read as mono zeros; every use is masked through
+    # `obs_valid` so the value only needs to be finite
+    uvr_g = jnp.where(obs_valid[..., None], uvr_g,
+                      jnp.asarray([0.0, 0.0, -1.0], dtype))
+    obs_is2 = jnp.where(
+        obs_valid,
+        jnp.take_along_axis(prob.obs_inv_sigma2, ginv[..., 0], axis=2), 0.0)
 
     def inv3(H):
         """Batched closed-form 3x3 inverse (adjugate/det) — avoids the
@@ -166,21 +146,13 @@ def solve_ba(
         return adj / det[..., None, None]
 
     def residual_state(kf_Tcw, mp_pos, want_jac=True):
-        """Structured-broadcast residual pass: poses/extrinsics enter as
-        [L,1,1]/[1,C,1] broadcasts over the [L, C, F] observation layout
-        instead of [N]-wide gathers (three gather latency floors per pass
-        on this backend); only the point gather (mp_pos[mp_idx]) remains.
-        Outputs are flattened back to [N, ...]."""
-        Xw_o = mp_pos[mp_idx].reshape(L, C, F, 3)
-        e, Jc, Jp, is_st, posd = residuals.reproj_residual(
-            kf_Tcw[:, None, None], Xw_o, T_rc[None, :, None],
-            K[None, :, None], bf, obs_uvr.reshape(L, C, F, 3),
+        """Gather-free residual pass over the [L, C, P] layout: every input
+        enters as a broadcast (pose [L,1,1], extrinsics/intrinsics [1,C,1],
+        point positions [1,1,P], measurements resident in-layout)."""
+        return residuals.reproj_residual(
+            kf_Tcw[:, None, None], mp_pos[None, None, :],
+            T_rc[None, :, None], K[None, :, None], bf, uvr_g,
             want_jac=want_jac)
-        if want_jac:
-            return (e.reshape(N, 3), Jc.reshape(N, 3, 6),
-                    Jp.reshape(N, 3, 3), is_st.reshape(N), posd.reshape(N))
-        return (e.reshape(N, 3), None, None, is_st.reshape(N),
-                posd.reshape(N))
 
     def chi2_of(e, is_st):
         row = residuals.row_weights(is_st, dtype)
@@ -212,50 +184,49 @@ def solve_ba(
             of accept-then-relinearize."""
             e, Jc, Jp, is_st, posd = residual_state(kf_Tcw, mp_pos)
             act = active & obs_valid & posd
-            row = residuals.row_weights(is_st, dtype)
+            row = residuals.row_weights(is_st, dtype)   # [L, C, P, 3]
             chi2 = chi2_of(e, is_st)
             delta = jnp.where(is_st, delta_s, delta_m)
             r = jnp.sqrt(jnp.maximum(chi2, 1e-12))
             hw = jnp.where(use_huber & (r > delta), delta / r, 1.0)
-            w = obs_is2 * hw * act.astype(dtype)
-            Wr = row * w[:, None]              # [N, 3] row weights
+            w = obs_is2 * hw * act.astype(dtype)        # [L, C, P]
+            Wr = row * w[..., None]                     # [L, C, P, 3]
 
-            free_o = jnp.broadcast_to(
-                prob.kf_free[:, None, None], (L, C, F)).reshape(N)
-            Jc_eff = Jc * free_o[:, None, None].astype(dtype)
+            Jc_eff = Jc * prob.kf_free[
+                :, None, None, None, None].astype(dtype)
 
             # H_cc blocks [L, 6, 6] and rhs: the KF index is the structured
-            # leading axis of the [L, C, F] layout — a plain contraction
-            # over the per-KF block, NO scatter.  The contraction runs over
-            # the flattened (row, col) axis of 18 — [L, CF, 18] x same —
-            # and the true H comes from summing the three row-diagonal 6x6
-            # blocks of the [18, 18] result; this keeps the MXU fed
-            # (a direct "lnri,lnrj->lij" einsum lowers ~10x slower here).
-            JTc = Jc_eff * Wr[:, :, None]      # weighted rows
-            CF = C * F
-            A18 = JTc.reshape(L, CF, 18)
-            B18 = Jc_eff.reshape(L, CF, 18)
+            # leading axis — a plain contraction over the per-KF block, NO
+            # scatter.  The contraction runs over the flattened (row, col)
+            # axis of 18 — [L, CP, 18] x same — and the true H comes from
+            # summing the three row-diagonal 6x6 blocks of the [18, 18]
+            # result; this keeps the MXU fed (a direct "lnri,lnrj->lij"
+            # einsum lowers ~10x slower here).
+            JTc = Jc_eff * Wr[..., None]                # weighted rows
+            CP = C * P
+            A18 = JTc.reshape(L, CP, 18)
+            B18 = Jc_eff.reshape(L, CP, 18)
             H18 = jax.lax.dot_general(
                 A18, B18, (((1,), (1,)), ((0,), (0,))))   # [L, 18, 18]
             H18 = H18.reshape(L, 3, 6, 3, 6)
             Hcc = H18[:, 0, :, 0, :] + H18[:, 1, :, 1, :] + H18[:, 2, :, 2, :]
             bc = jnp.einsum(
-                "lnri,lnr->li", JTc.reshape(L, CF, 3, 6), e.reshape(L, CF, 3))
+                "lnri,lnr->li", JTc.reshape(L, CP, 3, 6), e.reshape(L, CP, 3))
 
-            # point-block accumulations via ONE fused pass through the
-            # inverse map: H_pp (9) + b_p (3) + W_cp (18) floats per
-            # observation are concatenated, gathered once, and split
-            JTp = Jp * Wr[:, :, None]
-            Vpp = jnp.einsum("nri,nrj->nij", JTp, Jp).reshape(N, 9)
-            Vbp = jnp.einsum("nri,nr->ni", JTp, e)
-            Vcp = jnp.einsum("nri,nrj->nij", JTc, Jp).reshape(N, 18)
-            Vall = jnp.concatenate([Vpp, Vbp, Vcp], axis=-1)    # [N, 30]
-            summed, gathered = point_sums(Vall, (30,))
-            Hpp = summed[:, :9].reshape(P, 3, 3)
-            bp = summed[:, 9:12]
-            Wcp = jnp.sum(
-                gathered[..., 12:].reshape(L, C, P, 6, 3), axis=1)
-            Wcp = Wcp.transpose(1, 0, 2, 3)     # [P, L, 6, 3]
+            # point blocks: in the point-indexed layout these are plain
+            # reductions over (L, C, row) — no gather, no scatter, and
+            # W_cp lands directly in its [P, L, 6, 3] Schur layout.  The
+            # residual-row contraction (r, extent 3) is UNROLLED into
+            # broadcast products: an einsum here lowers as thousands of
+            # MXU-padded 3x3 matmuls batched over (L, C, P), which is the
+            # slowest possible shape for the systolic array (measured on
+            # the [L,C,F] variant: the batched-tiny-einsum forms cost ~2x
+            # the whole residual pass; see residuals.reproj_residual).
+            JTp = Jp * Wr[..., None]                    # [L, C, P, 3, 3]
+            Hpp = jnp.sum(residuals.outer_rows(JTp, Jp), axis=(0, 1))
+            bp = jnp.sum(residuals.jte_rows(JTp, e), axis=(0, 1))  # [P, 3]
+            Wcp = jnp.sum(residuals.outer_rows(JTc, Jp), axis=1)
+            Wcp = Wcp.transpose(1, 0, 2, 3)                    # [P, L, 6, 3]
 
             return (Hcc, bc, Hpp, bp, Wcp)
 
@@ -303,7 +274,9 @@ def solve_ba(
         S = -Yr.T @ Yr                                      # [L6, L6]
         Wr_flat = Wcp.transpose(0, 3, 1, 2).reshape(P * 3, L * 6)
         bp3 = bp.reshape(P, 3)
-        hb = jnp.einsum("pij,pj->pi", Hpp_inv, bp3)
+        # batched 3x3 matvec as broadcast-multiply + reduce (an einsum
+        # lowers as P MXU-padded tiny matmuls)
+        hb = jnp.sum(Hpp_inv * bp3[:, None, :], axis=-1)
         li = jnp.arange(L)
         S = S.reshape(L, 6, L, 6)
         S = S.at[li, :, li, :].add(Hcc_d)
@@ -318,7 +291,7 @@ def solve_ba(
         dxc = -jnp.linalg.solve(S, rhs)
         dxc = jnp.where(free6, dxc, 0.0).reshape(L, 6)
         WTdx = (Wr_flat @ dxc.reshape(L * 6)).reshape(P, 3)
-        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp3 + WTdx)
+        dp = -jnp.sum(Hpp_inv * (bp3 + WTdx)[:, None, :], axis=-1)
         dp = dp * prob.mp_valid[:, None]
         return dxc, dp
 
@@ -326,7 +299,7 @@ def solve_ba(
     # the between-phase and final chi2 gates (Optimizer.cc:1212-1259)
     # evaluate against the chi2/posd carried from the last accepted
     # cost_eval pass
-    th_const = jnp.where(obs_uvr[:, 2] >= 0, CHI2_STEREO, CHI2_MONO)
+    th_const = jnp.where(uvr_g[..., 2] >= 0, CHI2_STEREO, CHI2_MONO)
 
     # schedule as data: per-iteration Huber flag + gate-before-iteration
     # flag, consumed by ONE device loop
@@ -428,6 +401,10 @@ def solve_ba(
         cond_fn, body_fn, init)
 
     # final inlier gate from the carried chi2 of the last ACCEPTED state
-    # (rejected trials are never merged into the carry)
+    # (rejected trials are never merged into the carry), mapped back from
+    # the point-indexed [L, C, P] layout to the caller's feature-indexed
+    # [L, C, F] via the observation ids (one gather, outside the loop)
     active = obs_valid & (chi2_fin <= th_const) & posd_fin
-    return kf_Tcw, mp_pos, active.reshape(L, C, F)
+    act_f = jnp.take_along_axis(
+        active, jnp.clip(obs_mp_f, 0, P - 1), axis=2) & obs_ok_f
+    return kf_Tcw, mp_pos, act_f

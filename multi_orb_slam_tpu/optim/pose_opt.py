@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import se3
+from . import residuals
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
@@ -53,70 +54,36 @@ class _CamGathers(NamedTuple):
     of the 4x10 schedule.
     """
 
-    Rrc: jnp.ndarray   # [N, 3, 3] rig->cam rotation per observation
-    trc: jnp.ndarray   # [N, 3]
-    fx: jnp.ndarray
-    fy: jnp.ndarray
-    cx: jnp.ndarray
-    cy: jnp.ndarray
-    bfo: jnp.ndarray
+    Trc: jnp.ndarray   # [N, 4, 4] rig->cam extrinsic per observation
+    Ko: jnp.ndarray    # [N, 4] (fx, fy, cx, cy)
+    bfo: jnp.ndarray   # [N]
 
 
 def _precompute_cams(obs: PoseObs, T_rc, K, bf) -> _CamGathers:
-    Trc_o = T_rc[obs.cam_idx]               # [N, 4, 4]
-    Ko = K[obs.cam_idx]                      # [N, 4]
     return _CamGathers(
-        Rrc=Trc_o[:, :3, :3], trc=Trc_o[:, :3, 3],
-        fx=Ko[:, 0], fy=Ko[:, 1], cx=Ko[:, 2], cy=Ko[:, 3],
+        Trc=T_rc[obs.cam_idx], Ko=K[obs.cam_idx],
         bfo=jnp.broadcast_to(bf, obs.cam_idx.shape),
     )
 
 
-def _residual_jacobian(Tcw, obs: PoseObs, T_rc, K, bf, cams=None):
+def _residual_jacobian(Tcw, obs: PoseObs, T_rc, K, bf, cams=None,
+                       want_jac=True):
     """Residuals e [N, 3], Jacobians J = de/dxi [N, 3, 6], stereo mask [N].
 
     e = obs - (u, v, ur) of the predicted projection;
     J = -A @ R_rc @ [I | -hat(Xr)] with A = dproj/dXc.
     Mirrors the fork's analytic `linearizeOplus` chain with `Tcim_quat`
     (types_six_dof_expmap.cpp:600-698), vectorized over observations.
+    Delegates to residuals.reproj_residual: one shared implementation of
+    the chain with the row-unrolled broadcast arithmetic (the earlier
+    batched-3x3-einsum form lowered as N MXU-padded tiny matmuls and
+    dominated the 4x10 LM schedule's latency).
     """
     if cams is None:
         cams = _precompute_cams(obs, T_rc, K, bf)
-    Xr = se3.transform_points(Tcw, obs.pw)  # [N, 3] rig-body frame
-    Xc = jnp.einsum("nij,nj->ni", cams.Rrc, Xr) + cams.trc
-    fx, fy, cx, cy = cams.fx, cams.fy, cams.cx, cams.cy
-    bfo = cams.bfo
-
-    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
-    z_ok = z > 1e-3
-    zs = jnp.where(z_ok, z, 1.0)
-    invz = 1.0 / zs
-    invz2 = invz * invz
-    u = fx * x * invz + cx
-    v = fy * y * invz + cy
-    ur = u - bfo * invz
-    pred = jnp.stack([u, v, ur], axis=-1)
-
-    is_stereo = obs.uvr[:, 2] >= 0
-    target = jnp.where(is_stereo[:, None], obs.uvr,
-                       jnp.concatenate([obs.uvr[:, :2], ur[:, None]], axis=-1))
-    e = target - pred
-
-    # A = dproj/dXc  [N, 3, 3]
-    zero = jnp.zeros_like(fx)
-    A = jnp.stack(
-        [
-            jnp.stack([fx * invz, zero, -fx * x * invz2], -1),
-            jnp.stack([zero, fy * invz, -fy * y * invz2], -1),
-            jnp.stack([fx * invz, zero, -fx * x * invz2 + bfo * invz2], -1),
-        ],
-        axis=-2,
-    )
-    # dXc/dxi = R_rc @ [I | -hat(Xr)]: form B = A @ R_rc once [N, 3, 3],
-    # then J = -[B | -B @ hat(Xr)] (avoids the padded [N,3,6] einsum chain)
-    B = jnp.einsum("nij,njk->nik", A, cams.Rrc)
-    Bh = jnp.einsum("nij,njk->nik", B, se3.hat(Xr))
-    J = jnp.concatenate([-B, Bh], axis=-1)  # [N, 3, 6]
+    e, J, _, is_stereo, z_ok = residuals.reproj_residual(
+        Tcw, obs.pw, cams.Trc, cams.Ko, cams.bfo, obs.uvr,
+        want_jac=want_jac)
     valid = obs.mask & z_ok
     return e, J, is_stereo, valid
 
@@ -203,7 +170,8 @@ def optimize_pose(
         return Tcw
 
     def reclassify(Tcw, _inlier):
-        e, _, is_st, valid = _residual_jacobian(Tcw, obs, T_rc, K, bf, cams)
+        e, _, is_st, valid = _residual_jacobian(Tcw, obs, T_rc, K, bf, cams,
+                                                want_jac=False)
         row = jnp.where(is_st[:, None],
                         jnp.ones_like(e),
                         jnp.broadcast_to(jnp.array([1.0, 1.0, 0.0], e.dtype), e.shape))

@@ -89,8 +89,37 @@ def reproj_residual(
     return e, J_pose, J_point, is_stereo, pos_depth
 
 
+def bmv(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched matvec [..., i, j] @ [..., j] -> [..., i] as broadcast
+    multiply + reduce.  An einsum here lowers as a batch of MXU-padded
+    tiny matmuls — measured ~85% of a BA iteration's latency at batch
+    ~50k on a v5e; the broadcast form fuses into one elementwise pass."""
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
+def bmtv(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched M^T v: [..., i, j] with [..., i] -> [..., j] (see bmv)."""
+    return jnp.sum(M * v[..., :, None], axis=-2)
+
+
+def outer_rows(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """sum_r A[..., r, i] B[..., r, j] -> [..., i, j], r unrolled (=3).
+
+    The J^T J / J^T W J block products of every BA variant (see bmv)."""
+    return (A[..., 0, :, None] * B[..., 0, None, :]
+            + A[..., 1, :, None] * B[..., 1, None, :]
+            + A[..., 2, :, None] * B[..., 2, None, :])
+
+
+def jte_rows(A: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """sum_r A[..., r, i] e[..., r] -> [..., i], r unrolled (=3)."""
+    return (A[..., 0, :] * e[..., 0, None]
+            + A[..., 1, :] * e[..., 1, None]
+            + A[..., 2, :] * e[..., 2, None])
+
+
 def row_weights(is_stereo: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """[N, 3] row mask: mono rows drop the virtual-right residual."""
+    """[..., 3] row mask: mono rows drop the virtual-right residual."""
     ones = jnp.ones(is_stereo.shape + (3,), dtype)
     mono = jnp.broadcast_to(jnp.asarray([1.0, 1.0, 0.0], dtype), ones.shape)
-    return jnp.where(is_stereo[:, None], ones, mono)
+    return jnp.where(is_stereo[..., None], ones, mono)

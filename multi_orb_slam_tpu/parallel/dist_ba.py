@@ -156,16 +156,16 @@ def make_dist_ba_step(mesh: Mesh, axis: str = "data",
             # camera system: partial sums + psum (the ICI reduction)
             Hcc = jax.lax.psum(
                 jnp.zeros((K, 6, 6), dtype).at[obs_kf].add(
-                    jnp.einsum("nri,nrj->nij", JTcW, Jc_eff)), axis)
+                    residuals.outer_rows(JTcW, Jc_eff)), axis)
             bc = jax.lax.psum(
                 jnp.zeros((K, 6), dtype).at[obs_kf].add(
-                    jnp.einsum("nri,nr->ni", JTcW, e)), axis)
+                    residuals.jte_rows(JTcW, e)), axis)
             # point system: fully local (observations co-located)
             Hpp = jnp.zeros((Ml, 3, 3), dtype).at[mp_idx].add(
-                jnp.einsum("nri,nrj->nij", JTpW, Jp))
+                residuals.outer_rows(JTpW, Jp))
             bp = jnp.zeros((Ml, 3), dtype).at[mp_idx].add(
-                jnp.einsum("nri,nr->ni", JTpW, e))
-            U = jnp.einsum("nri,nrj->nij", JTcW, Jp)
+                residuals.jte_rows(JTpW, e))
+            U = residuals.outer_rows(JTcW, Jp)
 
             Hcc_d = _damp_blocks(Hcc, lam)
             Hpp_d = _damp_blocks(Hpp, lam) + jnp.where(
@@ -173,17 +173,17 @@ def make_dist_ba_step(mesh: Mesh, axis: str = "data",
             Hpp_inv = jnp.linalg.inv(Hpp_d)
 
             def S_matvec(x):
-                Ux = jnp.einsum("nij,ni->nj", U, x[obs_kf])
+                Ux = residuals.bmtv(U, x[obs_kf])
                 y = jnp.zeros((Ml, 3), dtype).at[mp_idx].add(Ux)
-                z = jnp.einsum("mij,mj->mi", Hpp_inv, y)
-                Uz = jnp.einsum("nij,nj->ni", U, z[mp_idx])
+                z = residuals.bmv(Hpp_inv, y)
+                Uz = residuals.bmv(U, z[mp_idx])
                 WHWx = jax.lax.psum(
                     jnp.zeros((K, 6), dtype).at[obs_kf].add(Uz), axis)
-                Hx = jnp.einsum("kij,kj->ki", Hcc_d, x)
+                Hx = residuals.bmv(Hcc_d, x)
                 return (Hx - WHWx) * kf_free[:, None]
 
-            zb = jnp.einsum("mij,mj->mi", Hpp_inv, bp)
-            Uzb = jnp.einsum("nij,nj->ni", U, zb[mp_idx])
+            zb = residuals.bmv(Hpp_inv, bp)
+            Uzb = residuals.bmv(U, zb[mp_idx])
             rhs = bc - jax.lax.psum(
                 jnp.zeros((K, 6), dtype).at[obs_kf].add(Uzb), axis)
             rhs = rhs * kf_free[:, None]
@@ -193,7 +193,7 @@ def make_dist_ba_step(mesh: Mesh, axis: str = "data",
                 * jnp.eye(6, dtype=dtype))
 
             def precond(v):
-                return jnp.einsum("kij,kj->ki", Pinv, v) * kf_free[:, None]
+                return residuals.bmv(Pinv, v) * kf_free[:, None]
 
             b_cg = -rhs
 
@@ -215,9 +215,9 @@ def make_dist_ba_step(mesh: Mesh, axis: str = "data",
                 0, cg_iters, cg_body, (x0, b_cg, z0, jnp.sum(b_cg * z0)))
             dxc = dxc * kf_free[:, None]
 
-            Ux = jnp.einsum("nij,ni->nj", U, dxc[obs_kf])
+            Ux = residuals.bmtv(U, dxc[obs_kf])
             WTdx = jnp.zeros((Ml, 3), dtype).at[mp_idx].add(Ux)
-            dp = -jnp.einsum("mij,mj->mi", Hpp_inv, bp + WTdx)
+            dp = -residuals.bmv(Hpp_inv, bp + WTdx)
             dp = dp * mp_valid[:, None]
 
             Tcw_new = jax.vmap(lambda d, T: se3.exp(d) @ T)(dxc, Tcw_all)

@@ -62,26 +62,26 @@ def corridor():
         T = np.eye(4, dtype=np.float32)
         T[:3, 3] = -np.array([x, 0.02 * np.sin(0.3 * i), 0.0], np.float32)
         poses[i] = T
-    # NATURAL drift injection: a smooth depth-scale ramp (up to 10%, the
-    # upper end of real depth-camera calibration error) on the outbound
+    # NATURAL drift injection: a smooth depth-scale ramp on the outbound
     # leg only.  The tracker integrates the biased unprojections into
     # genuinely drifted keyframes; on the return the accumulated offset
     # exceeds the matching radius, so re-association cannot silently
     # absorb it (which would be the correct no-loop outcome for small
     # drift — see test_loop_e2e.test_corridor_revisit) and only place
-    # recognition can reconnect the map.  (The ramp was 6% through round
-    # 3; round 4's relevance-ranked local-point search re-associates old
-    # points early enough at 6% that the revisit stays covisibility-
-    # CONNECTED — correctly suppressing loop detection while drift
-    # persists — so 10% is needed to produce the disconnected-revisit
-    # topology this test exists to exercise.)
+    # recognition can reconnect the map.  The ramp RATCHETS with solver
+    # quality: 6% through round 3; 10% after round 4's relevance-ranked
+    # local-point search; 15% after round 5's gather-free BA restructure —
+    # each improvement re-associates through the previous ramp early
+    # enough that the revisit stays covisibility-CONNECTED (correctly
+    # suppressing loop detection), so the drift grows to keep producing
+    # the disconnected-revisit topology this test exists to exercise.
     frames = []
     for i in range(NF):
         g, d = syn.render_rgbd(world, K, poses[i], H, W)
         s = i / (NF - 1)
         if 0.08 <= s < 0.42:
             t = (s - 0.08) / 0.34
-            d = d * (1.0 + 0.10 * np.sin(np.pi * t))
+            d = d * (1.0 + 0.15 * np.sin(np.pi * t))
         frames.append((g, d))
     # pre-trained vocabulary from scene descriptors (k=10, depth=4)
     cfg = make_cfg()
@@ -128,10 +128,12 @@ def test_natural_drift_loop_closes_and_corrects(corridor):
     assert n_loops >= 1, "the loop-closing chain never fired"
     # the corrected trajectory must beat the loop-disabled control
     assert ate_loop < ate_ctrl, (ate_loop, ate_ctrl)
-    # tracking must stay robust through the conflicted return leg.  (Through
-    # round 3 the control lost ~70 of 320 frames here and loop closure
-    # "rescued" it; round 4's relevance-ranked local search made the control
-    # robust too — both runs now track essentially everything, and the loop
-    # run's win is the ATE assertion above, not frame survival.)
+    # tracking must stay robust through the conflicted return leg WITH the
+    # loop closer.  The loop-disabled control is EXPECTED to lose frames at
+    # this ramp (measured 60/320 at 15%): the stale outbound structure
+    # poisons its local map on the return — exactly the failure mode loop
+    # closure rescues (through round 3 the control lost ~70 at the 6% ramp;
+    # round 4's relevance-ranked local search made the control robust at
+    # 10%; the round-5 ramp ratchet restores the conflicted regime).
     assert lost_loop <= NF // 20, lost_loop
-    assert lost_ctrl <= NF // 20, lost_ctrl
+    assert lost_loop <= lost_ctrl, (lost_loop, lost_ctrl)

@@ -29,6 +29,7 @@ from multi_orb_slam_tpu.placerec import vocabulary as vocab_mod
 
 NF = int(sys.argv[1]) if len(sys.argv) > 1 else 240
 DRIFT = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
+DRIFT_END = float(sys.argv[3]) if len(sys.argv) > 3 else 0.45
 H, W = 240, 320
 K = np.array([260.0, 260.0, 160.0, 120.0], np.float32)
 
@@ -58,8 +59,8 @@ def main():
             Tcw = np.asarray(T_rc[c]) @ poses[i]
             g, d = syn.render_rgbd(world, K, Tcw, H, W)
             # natural drift: depth-scale ramp on the first half-lap
-            if DRIFT > 0 and 0.08 <= s < 0.45:
-                t = (s - 0.08) / 0.37
+            if DRIFT > 0 and 0.08 <= s < DRIFT_END:
+                t = (s - 0.08) / (DRIFT_END - 0.08)
                 d = d * (1.0 + DRIFT * np.sin(np.pi * t))
             gs.append(g)
             ds.append(d)
@@ -93,6 +94,9 @@ def main():
                    for fid, ts, T, lost in traj])
     ate = float(align.ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
     n_lost = sum(1 for *_, lost in traj if lost)
+    lost_fids = [fid for fid, ts, T, lost in traj if lost]
+    if lost_fids:
+        print(f"lost frame ids: {lost_fids}", flush=True)
     print(f"DONE in {time.time()-t0:.1f}s: lost={n_lost}/{NF} "
           f"n_kf={int(slam.map.n_kf)} "
           f"loops={slam.loop_closer.n_loops_closed} ate={ate:.4f} m",
