@@ -663,6 +663,63 @@ def track_frame_fused_images(
     return (fr,) + tuple(out)
 
 
+@partial(jax.jit, static_argnums=(10,))
+def track_frames_scan(
+    state: ms.MapState,
+    prev: frame_mod.FrameData,
+    prev_Tcw: jnp.ndarray,
+    prev_mp: jnp.ndarray,
+    velocity: jnp.ndarray,
+    tstate: jnp.ndarray,
+    local_pts: search.LocalPoints,
+    grays_G: jnp.ndarray,      # [G, C, H, W]
+    depths_G: jnp.ndarray,     # [G, C, H, W]
+    calib: cam_mod.CameraParams,
+    cfg: SlamConfig,
+    frame_id0: jnp.ndarray,
+):
+    """A CHUNK of G frames as ONE device dispatch (lax.scan megastep).
+
+    On a remote-attached chip every dispatch costs ~5 ms and every host
+    readback ~4 ms regardless of payload (measured, round 5) — at ~5 ms
+    of device work per frame the per-call overhead dominates wall clock.
+    Scanning G frames per dispatch divides both by G: one dispatch, one
+    stacked [G, 8] scalar readback.
+
+    Keyframe insertions happen on-device inside the scan exactly as in
+    track_frame_fused; after an insertion the local-point cache is
+    rebuilt ON-DEVICE (lax.cond) so later frames in the chunk search the
+    updated anchor.  The mapping stage still runs on the host between
+    chunks, lagging an inserted keyframe by up to G-1 frames — the same
+    lag the reference's free-running LocalMapping thread has
+    (src/System.cc:107, LocalMapping.cc:55-157).
+
+    Returns (carry..., stacked per-frame outputs).
+    """
+    def body(carry, gd):
+        st, pv, pv_Tcw, pv_mp, vel, tst, lpts, fid = carry
+        g, d = gd
+        fr = frame_mod.build_frame(g, d, calib, cfg.orb)
+        (st, Tcw, fmp, vel, tst, scalars, ref_slot, ref_pose,
+         ref_fid) = track_frame_fused(
+            st, pv, pv_Tcw, pv_mp, vel, tst, lpts, fr, calib, cfg, fid)
+        inserted = scalars[2] > 0
+        kf_slot = scalars[3]
+        lpts = jax.lax.cond(
+            inserted,
+            lambda: build_local_points_cache(st, kf_slot, cfg),
+            lambda: lpts)
+        carry = (st, fr, Tcw, fmp, vel, tst, lpts, fid + 1)
+        return carry, (scalars, ref_slot, ref_pose, ref_fid, Tcw)
+
+    init = (state, prev, prev_Tcw, prev_mp, velocity, tstate, local_pts,
+            frame_id0)
+    carry, outs = jax.lax.scan(body, init, (grays_G, depths_G))
+    (state, prev, prev_Tcw, prev_mp, velocity, tstate, local_pts, _) = carry
+    return (state, prev, prev_Tcw, prev_mp, velocity, tstate, local_pts,
+            outs)
+
+
 def close_point_thresholds(cfg: SlamConfig, total_feat: int):
     """bNeedToInsertClose thresholds (Tracking.cc:1464-1477: 100 / 70),
     auto-scaled from the reference's 1000+500 feature budget to ours when
